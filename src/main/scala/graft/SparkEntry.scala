@@ -1,13 +1,202 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.algos._
+import graft.graph.LinkGraph
+import graft.sources.EventEdges
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Graph queries run over the reply-edge graph derived from the `events`
+  * table (graft.sources.EventEdges — same derivation stated in ANSI SQL for
+  * the DuckDB oracle). Iterative algorithms are pinned to a fixed superstep
+  * count in the query (tolerance=0) so the oracle can state the identical
+  * unrolled recurrence; convergence-mode behavior is covered by ScalaTest
+  * golden/oracle suites.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def graph(s: SparkSession, dir: String): LinkGraph =
+    LinkGraph(EventEdges.edges(s, dir))
+
+  /** Flagship: PageRank over the sf0.001 events reply graph. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    PageRank.run(graph(spark, "/root/testdata/sf0.001"),
+      PageRankConfig(5, 0.0, 0.85)).scores
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_edges" -> ((s, dir) => EventEdges.edges(s, dir)),
+
+    "g_degrees" -> ((s, dir) => graph(s, dir).degrees),
+
+    "g_to_undirected" -> ((s, dir) =>
+      graph(s, dir).undirected),
+
+    "g_relabel_map" -> ((s, dir) => {
+      // degree-descending relabel map (SURVEY.md §2.12,
+      // graph_ops.rs:511-638): old id -> new id by (deg DESC, id ASC).
+      import org.apache.spark.sql.expressions.Window
+      graph(s, dir).degrees.select(col("id"),
+        (row_number().over(
+          Window.orderBy(col("deg").desc, col("id").asc)) - 1)
+          .cast("long").as("new_id"))
+    }),
+
+    "g_pagerank5" -> ((s, dir) =>
+      PageRank.run(graph(s, dir), PageRankConfig(5, 0.0, 0.85))
+        .scores.select(col("id"), round(col("score"), 6).as("score"))),
+
+    "g_wcc" -> ((s, dir) => Wcc.run(graph(s, dir)).components),
+
+    "g_lp4" -> ((s, dir) =>
+      LabelPropagation.run(graph(s, dir), LabelPropagationConfig(4)).labels),
+
+    "g_triangle_count" -> ((s, dir) => {
+      val tc = TriangleCount.run(graph(s, dir))
+      s.range(1).select(lit(tc).as("triangles"))
+    }),
+
+    "g_sssp" -> ((s, dir) =>
+      Sssp.run(graph(s, dir), SsspConfig(0L)).distances
+        .filter(col("dist") =!= lit(Double.PositiveInfinity))
+        .select(col("id"), round(col("dist"), 6).as("dist"))),
+
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            4).as("sum_revenue"),
+          count(lit(1)).as("count_order")))
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private val EDGES_CTE =
+    "edges AS (" + EventEdges.edgesSql.replace("\n", " ") + ")"
+  private val VERTS_CTE =
+    "verts AS (SELECT unnest(generate_series(0, " +
+      "(SELECT max(greatest(src,dst)) FROM edges)))::BIGINT AS id)"
+
+  private def prSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""i$k AS MATERIALIZED (SELECT d.id,
+         | (SELECT 0.15/n FROM n) + 0.85 * COALESCE(g.in_sum, 0.0) AS score
+         | FROM deg d LEFT JOIN (
+         |   SELECT e.dst AS id, sum(s.score / dg.out_deg) AS in_sum
+         |   FROM edges e JOIN i${k - 1} s ON e.src = s.id
+         |   JOIN deg dg ON e.src = dg.id GROUP BY e.dst) g USING (id))"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(",\n")
+    s"""WITH $EDGES_CTE,
+       |$VERTS_CTE,
+       |n AS (SELECT count(*)::DOUBLE AS n FROM verts),
+       |deg AS (SELECT v.id, COALESCE(o.c, 0.0) AS out_deg FROM verts v
+       | LEFT JOIN (SELECT src AS id, count(*)::DOUBLE AS c FROM edges
+       |  GROUP BY 1) o USING (id)),
+       |i0 AS (SELECT id, (SELECT 1.0/n FROM n) AS score FROM verts),
+       |$steps
+       |SELECT id, round(score, 6) AS score FROM i$iters""".stripMargin
+  }
+
+  private def lpSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""i$k AS MATERIALIZED (SELECT l.id,
+         | COALESCE(m.new_label, l.label) AS label FROM i${k - 1} l
+         | LEFT JOIN (SELECT id, label AS new_label FROM (
+         |   SELECT u.b AS id, l2.label, count(*) AS cnt,
+         |     row_number() OVER (PARTITION BY u.b
+         |       ORDER BY count(*) DESC, l2.label ASC) AS rn
+         |   FROM undm u JOIN i${k - 1} l2 ON u.a = l2.id
+         |   GROUP BY u.b, l2.label) WHERE rn = 1) m ON l.id = m.id)"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(",\n")
+    s"""WITH $EDGES_CTE,
+       |undm AS (SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+       | UNION ALL SELECT dst, src FROM edges WHERE src <> dst),
+       |$VERTS_CTE,
+       |i0 AS (SELECT id, id AS label FROM verts),
+       |$steps
+       |SELECT id, label FROM i$iters""".stripMargin
+  }
+
+  private def ssspSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+         | SELECT id, dist FROM d${k - 1} UNION ALL
+         | SELECT e.dst AS id, p.dist + e.weight AS dist
+         | FROM d${k - 1} p JOIN edges e ON e.src = p.id) GROUP BY id)"""
+        .stripMargin.replace("\n", " ")
+    }.mkString(",\n")
+    s"""WITH $EDGES_CTE,
+       |d0 AS (SELECT 0::BIGINT AS id, 0.0 AS dist),
+       |$steps
+       |SELECT id, round(dist, 6) AS dist FROM d$iters""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "g_edges" -> EventEdges.edgesSql,
+
+    "g_degrees" ->
+      s"""WITH $EDGES_CTE, $VERTS_CTE
+         |SELECT v.id, COALESCE(o.c, 0)::BIGINT AS out_deg,
+         |  COALESCE(i.c, 0)::BIGINT AS in_deg,
+         |  (COALESCE(o.c, 0) + COALESCE(i.c, 0))::BIGINT AS deg
+         |FROM verts v
+         |LEFT JOIN (SELECT src AS id, count(*) AS c FROM edges GROUP BY 1)
+         |  o USING (id)
+         |LEFT JOIN (SELECT dst AS id, count(*) AS c FROM edges GROUP BY 1)
+         |  i USING (id)""".stripMargin,
+
+    "g_to_undirected" ->
+      s"""WITH $EDGES_CTE
+         |SELECT src, dst, weight FROM edges
+         |UNION ALL SELECT dst AS src, src AS dst, weight FROM edges"""
+        .stripMargin,
+
+    "g_relabel_map" ->
+      s"""WITH $EDGES_CTE, $VERTS_CTE,
+         |deg AS (SELECT v.id,
+         |  (COALESCE(o.c, 0) + COALESCE(i.c, 0))::BIGINT AS deg
+         | FROM verts v
+         | LEFT JOIN (SELECT src AS id, count(*) AS c FROM edges GROUP BY 1)
+         |   o USING (id)
+         | LEFT JOIN (SELECT dst AS id, count(*) AS c FROM edges GROUP BY 1)
+         |   i USING (id))
+         |SELECT id, (row_number() OVER (ORDER BY deg DESC, id ASC) - 1)
+         |  ::BIGINT AS new_id FROM deg""".stripMargin,
+
+    "g_pagerank5" -> prSql(5),
+
+    "g_wcc" ->
+      s"""WITH RECURSIVE $EDGES_CTE,
+         |und AS (SELECT DISTINCT src AS a, dst AS b FROM edges
+         | WHERE src <> dst
+         | UNION SELECT DISTINCT dst, src FROM edges WHERE src <> dst),
+         |$VERTS_CTE,
+         |reach(id, r) AS (SELECT id, id FROM verts
+         | UNION SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id)
+         |SELECT id, min(r) AS comp FROM reach GROUP BY id""".stripMargin,
+
+    "g_lp4" -> lpSql(4),
+
+    "g_triangle_count" ->
+      s"""WITH $EDGES_CTE,
+         |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |      FROM edges WHERE src <> dst)
+         |SELECT count(*)::BIGINT AS triangles
+         |FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
+
+    "g_sssp" -> ssspSql(12),
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_revenue,
+        |  count(*)::BIGINT AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

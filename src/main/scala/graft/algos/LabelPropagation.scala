@@ -1,0 +1,101 @@
+package graft.algos
+
+import graft.{ConvergenceStats, LabelPropagationConfig}
+import graft.checkpoint.Checkpointer
+import graft.graph.LinkGraph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Synchronous label propagation (community detection).
+  *
+  * Absent from the reference (SURVEY.md §2.9 — grep confirms no LP anywhere;
+  * "relabel" there is degree reordering). Semantics are therefore defined
+  * from the public standard (Raghavan et al. 2007, synchronous variant) with
+  * a deterministic tie-break so that results are exact and
+  * partitioning-independent:
+  *
+  *   label(v) init = v
+  *   each superstep: label'(v) = the neighbor label with the highest
+  *     multiplicity in the undirected neighbor multiset of v (duplicate
+  *     edges count); ties broken by SMALLEST label. Vertices with no
+  *     neighbors keep their label.
+  *   stop when no label changed or maxIterations reached.
+  *
+  * One superstep = join(edges, labels) + groupBy(dst, label).count +
+  * per-dst argmax via max(struct(cnt, -label)) — all partial-aggregatable,
+  * no UDAF, no window (SURVEY.md §7.3). Synchronous LPA can oscillate on
+  * bipartite-ish structures; maxIterations bounds that, and the fixed-point
+  * check compares against the previous state.
+  */
+object LabelPropagation {
+
+  case class Result(labels: DataFrame, stats: ConvergenceStats)
+
+  def run(
+      graph: LinkGraph,
+      config: LabelPropagationConfig = LabelPropagationConfig(),
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 10,
+      broadcastVertices: Long = 5000000L): Result = {
+    val spark = graph.edges.sparkSession
+    import spark.implicits._
+
+    val n = graph.nodeCount
+    require(n > 0, "LP on empty graph")
+    // Undirected multiset view (duplicates count toward the mode), self-loops
+    // excluded (a vertex does not vote for itself).
+    val und = graph.edges.filter($"src" =!= $"dst")
+      .select($"src", $"dst")
+      .union(graph.edges.filter($"src" =!= $"dst")
+        .select($"dst".as("src"), $"src".as("dst")))
+      .repartition(graph.numPartitions, $"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+
+    val doBroadcast = n <= broadcastVertices
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (doBroadcast) broadcast(df) else df
+
+    val resume = checkpointDir.flatMap(Checkpointer.latest(spark, _))
+      .filter(_._1.algorithm == "label_propagation")
+    var iteration = resume.map(_._1.iteration).getOrElse(0)
+    var labels: DataFrame = resume.map(_._2)
+      .getOrElse(graph.vertices.select($"id", $"id".as("label")))
+      .localCheckpoint()
+
+    var changed = Long.MaxValue
+    while (changed > 0 && iteration < config.maxIterations) {
+      // mode of neighbor labels; tie -> smallest label. argmax encoded as
+      // max(struct(cnt, -label)): higher count wins, then smaller label.
+      val counts = und
+        .join(maybeBroadcast(labels), und("src") === labels("id"))
+        .groupBy(und("dst").as("id"), $"label")
+        .agg(count(lit(1)).as("cnt"))
+      val mode = counts
+        .groupBy($"id")
+        .agg(max(struct($"cnt", (-$"label").as("neg_label"))).as("m"))
+        .select($"id", (-$"m.neg_label").as("new_label"))
+      val next = labels
+        .join(maybeBroadcast(mode), Seq("id"), "left")
+        .select($"id", coalesce($"new_label", $"label").as("label"))
+        .localCheckpoint()
+
+      changed = next.as("n").join(labels.as("p"), Seq("id"))
+        .filter($"n.label" =!= $"p.label").count()
+
+      labels = next
+      iteration += 1
+
+      if (checkpointDir.isDefined && changed > 0
+          && iteration % checkpointEvery == 0) {
+        labels = Checkpointer.write(checkpointDir.get, "label_propagation",
+          iteration, changed.toDouble, labels).localCheckpoint()
+      }
+    }
+
+    und.unpersist()
+    Result(labels,
+      ConvergenceStats(iteration, changed.toDouble, changed == 0))
+  }
+}

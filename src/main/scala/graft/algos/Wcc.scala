@@ -1,0 +1,110 @@
+package graft.algos
+
+import graft.{ConvergenceStats, WccConfig}
+import graft.checkpoint.Checkpointer
+import graft.graph.LinkGraph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Weakly connected components as an iterative hash-min fixed point.
+  *
+  * The reference computes WCC with a shared-memory union-find using
+  * union-by-min ("smaller set id wins",
+  * /root/reference/crates/algos/src/dss.rs:38-62): at convergence every
+  * node's component id is the MINIMUM node id of its component
+  * (dss.rs:183-195). Union-find does not distribute; the equivalent
+  * distributed fixed point is min-label propagation over the undirected
+  * view of the raw edges (the reference unions across out- AND in-neighbors,
+  * wcc.rs:274-301 — i.e. weak connectivity):
+  *
+  *   comp(v) <- min(comp(v), min over neighbors u of comp(u))
+  *
+  * which converges to exactly the same labeling (per-component min id) and is
+  * order/partitioning independent — so "exact match" vs the reference is
+  * well-defined (SURVEY.md §2.3). The Afforest variants (wcc.rs:158-301) are
+  * shared-memory work-skipping optimizations with identical output; they are
+  * not semantics we need to reproduce.
+  *
+  * Pointer-jumping acceleration: plain hash-min needs O(diameter) rounds; we
+  * add a shortcutting round (comp <- comp of comp) after each propagation,
+  * the "small-star-ish" move of Kiveris et al. (2014), which keeps the same
+  * fixed point while collapsing chains in O(log d) rounds. Each round is one
+  * join + min-aggregate over edges (partial aggregation handles hub skew)
+  * plus one vertex-sized self-join for the shortcut.
+  */
+object Wcc {
+
+  case class Result(components: DataFrame, stats: ConvergenceStats)
+
+  def run(
+      graph: LinkGraph,
+      config: WccConfig = WccConfig(),
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 10,
+      broadcastVertices: Long = 5000000L): Result = {
+    val spark = graph.edges.sparkSession
+    import spark.implicits._
+
+    val n = graph.nodeCount
+    require(n > 0, "WCC on empty graph")
+    // Undirected simple view: duplicates are idempotent under min, drop them
+    // once up front to shrink the join input; self-loops are no-ops.
+    val und = graph.canonicalUndirected
+      .select($"src", $"dst")
+      .union(graph.canonicalUndirected.select($"dst".as("src"),
+        $"src".as("dst")))
+      .repartition(graph.numPartitions, $"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+
+    val doBroadcast = n <= broadcastVertices
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (doBroadcast) broadcast(df) else df
+
+    val resume = checkpointDir.flatMap(Checkpointer.latest(spark, _))
+      .filter(_._1.algorithm == "wcc")
+    var iteration = resume.map(_._1.iteration).getOrElse(0)
+    // Eager localCheckpoint per round: the pointer-jump self-join would
+    // otherwise DOUBLE the logical plan every round (SURVEY.md §7.4-5).
+    var comp: DataFrame = resume.map(_._2)
+      .getOrElse(graph.vertices.select($"id", $"id".as("comp")))
+      .localCheckpoint()
+
+    var changed = Long.MaxValue
+    while (changed > 0 && iteration < config.maxIterations) {
+      val nbrMin = und
+        .join(maybeBroadcast(comp), und("src") === comp("id"))
+        .groupBy(und("dst").as("id"))
+        .agg(min($"comp").as("nbr_min"))
+      val propagated = comp
+        .join(maybeBroadcast(nbrMin), Seq("id"), "left")
+        .select($"id",
+          least($"comp", coalesce($"nbr_min", $"comp")).as("comp"))
+      // pointer jumping: comp(v) <- comp(comp(v)); same fixed point,
+      // collapses long chains logarithmically.
+      val jumped = propagated.as("a")
+        .join(maybeBroadcast(
+          propagated.select($"id".as("jid"), $"comp".as("jcomp"))),
+          $"a.comp" === $"jid", "left")
+        .select($"a.id".as("id"),
+          least($"a.comp", coalesce($"jcomp", $"a.comp")).as("comp"))
+        .localCheckpoint()
+
+      changed = jumped.as("n").join(comp.as("p"), Seq("id"))
+        .filter($"n.comp" =!= $"p.comp").count()
+
+      comp = jumped
+      iteration += 1
+
+      if (checkpointDir.isDefined && changed > 0
+          && iteration % checkpointEvery == 0) {
+        comp = Checkpointer.write(checkpointDir.get, "wcc",
+          iteration, changed.toDouble, comp).localCheckpoint()
+      }
+    }
+
+    und.unpersist()
+    Result(comp, ConvergenceStats(iteration, changed.toDouble, changed == 0))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.graph
+
+import graft.Layout
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed analogue of the reference's CSR graph
+  * (crates/builder/src/graph/csr.rs:364-368: DirectedCsrGraph = out-CSR +
+  * in-CSR + node values). Here the single canonical edge DataFrame plays both
+  * roles: the "out view" is the table hash-partitioned by src, the "in view"
+  * the same rows re-keyed by dst. Layout normalization mirrors CsrLayout
+  * (csr.rs:32-45): Sorted = sortWithinPartitions, Deduplicated = distinct +
+  * self-loop drop (csr.rs:897-948 removes both).
+  *
+  * Scale design: `partitioned` repartitions edges by src once and persists;
+  * because InMemoryRelation preserves outputPartitioning, every subsequent
+  * per-superstep join on src reuses that exchange instead of reshuffling the
+  * (large) edge side each iteration. Vertex-side tables are broadcast when
+  * small. Skewed dst hubs in gather aggregations are absorbed by partial
+  * (map-side) aggregation; join-side skew falls back to AQE skew-join plus
+  * the salting helper below (SURVEY.md §2.11 — degree-balanced partitioning
+  * is the reference's skew story, graph_ops.rs:331-440).
+  */
+class LinkGraph private (
+    val edges: DataFrame,
+    val numPartitions: Int) extends Serializable {
+
+  private val spark = edges.sparkSession
+  import spark.implicits._
+
+  /** max node id + 1, the reference's node_count derivation
+    * (crates/builder/src/input/edgelist.rs:84-90).
+    */
+  lazy val nodeCount: Long = {
+    val row = edges.agg(max(greatest($"src", $"dst"))).first()
+    if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+  }
+
+  lazy val edgeCount: Long = edges.count()
+
+  /** Dense vertex universe 0..nodeCount-1 (reference includes ids never seen
+    * in the edge list up to the max — e.g. node 3 of the README PageRank
+    * fixture, crates/algos/src/lib.rs:96-140).
+    */
+  def vertices: DataFrame = spark.range(nodeCount).toDF("id")
+
+  /** Out-view: edges hash-partitioned by src, persisted for iteration reuse. */
+  lazy val bySrc: DataFrame = {
+    val df = edges.repartition(numPartitions, $"src")
+      .sortWithinPartitions($"src", $"dst")
+      .persist()
+    df
+  }
+
+  /** Undirected view: every edge materialized in both directions, the
+    * direct analogue of UndirectedCsrGraph (csr.rs:154-172,658-661).
+    */
+  lazy val undirected: DataFrame =
+    edges.select($"src", $"dst", $"weight")
+      .union(edges.select($"dst".as("src"), $"src".as("dst"), $"weight"))
+
+  /** Canonical deduplicated undirected simple edges (src < dst), self-loops
+    * dropped — TC's required layout (csr.rs:897-948, SURVEY.md §7.4-3).
+    */
+  lazy val canonicalUndirected: DataFrame =
+    edges.filter($"src" =!= $"dst")
+      .select(
+        least($"src", $"dst").as("src"),
+        greatest($"src", $"dst").as("dst"))
+      .distinct()
+
+  /** Degree tables (SURVEY.md §2.7): one aggregation each, left-joined onto
+    * the dense vertex universe so zero-degree vertices are present.
+    */
+  lazy val degrees: DataFrame = {
+    val outD = edges.groupBy($"src".as("id")).agg(count(lit(1)).as("out_deg"))
+    val inD = edges.groupBy($"dst".as("id")).agg(count(lit(1)).as("in_deg"))
+    vertices
+      .join(outD, Seq("id"), "left")
+      .join(inD, Seq("id"), "left")
+      .na.fill(0L, Seq("out_deg", "in_deg"))
+      .withColumn("deg", $"out_deg" + $"in_deg")
+  }
+
+  def toUndirectedGraph: LinkGraph = new LinkGraph(undirected, numPartitions)
+}
+
+object LinkGraph {
+
+  /** Builder mirroring GraphBuilder::new().csr_layout(L).edges(E).build()
+    * (crates/builder/src/builder.rs:123-381).
+    */
+  def apply(
+      edges: DataFrame,
+      layout: Layout.Value = Layout.AsIs,
+      numPartitions: Int = 0): LinkGraph = {
+    val spark = edges.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val norm = layout match {
+      case Layout.AsIs => edges
+      case Layout.Sorted => edges // ordering materialized lazily in bySrc
+      case Layout.Deduplicated =>
+        edges.filter(col("src") =!= col("dst"))
+          .dropDuplicates("src", "dst")
+    }
+    new LinkGraph(norm.select(
+      col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"),
+      coalesce(col("weight"), lit(1.0)).cast("double").as("weight")), parts)
+  }
+
+  /** Hub-salting helper (SURVEY.md §2.11/§7.4-4): split any join key whose
+    * frequency exceeds `threshold` into `salt` sub-keys. Returns (saltedBig,
+    * explodedSmall) ready to join on (key, salt_id); aggregate partials then
+    * merge. The distributed counterpart of the reference's degree-balanced
+    * node ranges (graph_ops.rs:479-509).
+    */
+  def saltJoinKeys(
+      big: DataFrame, key: String, salt: Int): DataFrame =
+    big.withColumn("salt_id",
+      (pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+        .cast("int"))
+
+  def explodeSalt(small: DataFrame, salt: Int): DataFrame =
+    small.withColumn("salt_id",
+      explode(sequence(lit(0), lit(salt - 1))))
+}

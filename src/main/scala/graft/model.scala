@@ -1,0 +1,54 @@
+package graft
+
+/** Core data model.
+  *
+  * The reference (neo4j-labs/graph) models a graph as an immutable CSR over
+  * dense integer node ids (crates/builder/src/graph/csr.rs:47-93, node ids
+  * generic over `Idx`, crates/builder/src/index.rs:93-103). Our distributed
+  * analogue fixes ids to Long and represents the graph as a partitioned
+  * `Dataset[Edge]`; adjacency access becomes joins/aggregations planned by
+  * Catalyst rather than pointer chasing (SURVEY.md §1.3/§1.4).
+  */
+case class Edge(src: Long, dst: Long, weight: Double)
+
+/** Per-vertex iteration state carried across supersteps. */
+case class VertexScore(id: Long, score: Double)
+case class VertexComp(id: Long, comp: Long)
+case class VertexLabel(id: Long, label: Long)
+case class VertexDist(id: Long, dist: Double)
+
+/** Mirrors PageRankConfig defaults at
+  * /root/reference/crates/algos/src/page_rank.rs:45-47
+  * (max_iterations=20, tolerance=1e-4, damping_factor=0.85).
+  */
+case class PageRankConfig(
+    maxIterations: Int = 20,
+    tolerance: Double = 1e-4,
+    dampingFactor: Double = 0.85)
+
+/** Reference WccConfig (crates/algos/src/wcc.rs:43-79) carries shared-memory
+  * tuning (chunk_size, neighbor_rounds, sampling) that has no distributed
+  * meaning; ours carries the fixed-point loop bounds instead.
+  */
+case class WccConfig(maxIterations: Int = 200)
+
+/** Label propagation is absent from the reference (SURVEY.md §2.9); semantics
+  * are synchronous LPA (Raghavan et al.) with deterministic smallest-label
+  * tie-break so results are exact at convergence.
+  */
+case class LabelPropagationConfig(maxIterations: Int = 20)
+
+case class SsspConfig(startNode: Long, maxIterations: Int = 500)
+
+/** Result bundles: scores plus convergence metrics, mirroring the reference's
+  * (Vec<f32>, iterations, error) return (page_rank.rs:58-61).
+  */
+case class ConvergenceStats(iterations: Int, error: Double, converged: Boolean)
+
+/** CsrLayout analogue (crates/builder/src/graph/csr.rs:32-45):
+  * AsIs = Unsorted, Sorted = sortWithinPartitions, Deduplicated = distinct +
+  * self-loop removal.
+  */
+object Layout extends Enumeration {
+  val AsIs, Sorted, Deduplicated = Value
+}

@@ -1,0 +1,154 @@
+package graft
+
+import graft.algos._
+import graft.fixtures.Fixtures
+import graft.graph.LinkGraph
+import graft.ingest.TranscriptEdges
+
+/** Golden-vector tests transcribed from the reference test corpus
+  * (SURVEY.md §5.2-1). PageRank compares allclose 1e-6; WCC/TC/SSSP exact.
+  */
+class GoldenAlgosSpec extends SparkSpec {
+
+  private def scoresMap(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("reference-parity oracle reproduces README 13-node golden vector") {
+    // The pinned-iteration (10, non-converged) vector encodes the
+    // reference's chunk-sequential Gauss-Seidel schedule; the parity oracle
+    // reproduces it to 1e-6 (see ReferencePageRank scaladoc).
+    val (scores, iters, _) = ReferencePageRank.run(13,
+      Fixtures.prReadme13Edges.map { case (u, v) => (u.toInt, v.toInt) },
+      PageRankConfig(10, 1e-4, 0.85))
+    assert(iters == 10)
+    allClose(scores.zipWithIndex
+      .map { case (s, i) => i.toLong -> s.toDouble }.toMap,
+      Fixtures.prReadme13Expected)
+  }
+
+  test("distributed PageRank matches reference at convergence " +
+      "(README graph, via transcripts)") {
+    val ts = Fixtures.transcriptsFromEdges(spark,
+      Fixtures.prReadme13Edges, 13L)
+    val edges = TranscriptEdges.edges(ts)
+    val g = LinkGraph(edges)
+    assert(g.nodeCount == 13L)
+    // error shrinks ~0.85^k, so 1e-9 needs ~130 iterations
+    val cfg = PageRankConfig(200, 1e-9, 0.85)
+    val res = PageRank.run(g, cfg)
+    assert(res.stats.converged)
+    val (ref, _, _) = ReferencePageRank.run(13,
+      Fixtures.prReadme13Edges.map { case (u, v) => (u.toInt, v.toInt) },
+      cfg)
+    allClose(scoresMap(res.scores),
+      ref.map(_.toDouble).toSeq)
+  }
+
+  test("PageRank matches two-components golden vector (defaults)") {
+    val g = LinkGraph(edgesDF(Fixtures.prTwoComponentsEdges))
+    val res = PageRank.run(g, PageRankConfig())
+    allClose(scoresMap(res.scores), Fixtures.prTwoComponentsExpected)
+  }
+
+  test("PageRank counts duplicate edges multiply and drops dangling mass") {
+    // duplicate edge (0,1) twice + dangling node 2 (out_deg 0, receives).
+    val g = LinkGraph(edgesDF(Seq((0L, 1L), (0L, 1L), (1L, 2L))))
+    val res = PageRank.run(g, PageRankConfig(2, 0.0, 0.85))
+    val m = scoresMap(res.scores)
+    val n = 3.0; val base = 0.15 / n; val init = 1.0 / n
+    // iter1: s0=base; s1=base+0.85*(2*(init/2)); s2=base+0.85*init
+    // iter2: s2 = base + 0.85*s1_iter1
+    val s1i1 = base + 0.85 * init
+    assert(math.abs(m(2L) - (base + 0.85 * s1i1)) < 1e-12)
+  }
+
+  test("WCC two pairs -> min-id components [0,0,2,2]") {
+    val ts = Fixtures.transcriptsFromEdges(spark,
+      Fixtures.wccTwoPairsEdges, 4L)
+    val g = LinkGraph(TranscriptEdges.edges(ts))
+    val res = Wcc.run(g)
+    assert(res.stats.converged)
+    val m = res.components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("WCC long chain converges (pointer jumping) with min-id labels") {
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val g = LinkGraph(edgesDF(chain))
+    val res = Wcc.run(g, WccConfig(maxIterations = 30))
+    assert(res.stats.converged,
+      s"chain did not converge in ${res.stats.iterations} rounds")
+    assert(res.components.collect().forall(_.getLong(1) == 0L))
+  }
+
+  test("Triangle count fixtures: 2 / 2 / 2") {
+    assert(TriangleCount.run(
+      LinkGraph(edgesDF(Fixtures.tcTwoComponentsEdges))) == 2L)
+    assert(TriangleCount.run(
+      LinkGraph(edgesDF(Fixtures.tcConnectedEdges))) == 2L)
+    assert(TriangleCount.run(
+      LinkGraph(edgesDF(Fixtures.tcDiamondEdges))) == 2L)
+  }
+
+  test("Triangle count deduplicates and drops self-loops first") {
+    val noisy = Fixtures.tcDiamondEdges ++ Seq((0L, 0L), (1L, 0L), (0L, 1L))
+    assert(TriangleCount.run(LinkGraph(edgesDF(noisy))) == 2L)
+  }
+
+  test("SSSP golden distances") {
+    val g = LinkGraph(edgesDF(Fixtures.ssspEdges, Fixtures.ssspWeights))
+    val res = Sssp.run(g, SsspConfig(startNode = 0L))
+    val m = scoresMap(res.distances)
+    Fixtures.ssspExpected.zipWithIndex.foreach { case (e, i) =>
+      assert(m(i.toLong) == e, s"node $i: ${m(i.toLong)} != $e")
+    }
+  }
+
+  test("Label propagation: two cliques joined by a bridge") {
+    // cliques {0,1,2} and {3,4,5}, bridge 2-3. Sync LPA with smallest-label
+    // tie-break: every member of clique A adopts 0, clique B adopts 3.
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L),
+      (2L, 3L))
+    val res = LabelPropagation.run(LinkGraph(edgesDF(edges)),
+      LabelPropagationConfig(maxIterations = 10))
+    val m = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iteration-by-iteration hand computation:
+    // i1: l(0)=min-mode{1,2}=1, l(1)=mode{0,2}=0, l(2)=mode{0,1,3}=0,
+    //     l(3)=mode{4,5,2}=2, l(4)=mode{3,5}=3, l(5)=mode{3,4}=3
+    // i2: l(0)=mode{0,0}=0, l(1)=mode{1,0}=0, l(2)=mode{1,0,2}=0,
+    //     l(3)=mode{3,3,0}=3, l(4)=mode{2,3}=2, l(5)=mode{2,3}=2
+    // ... converges with clique A all 0; B oscillation bounded by max iters.
+    assert(Set(m(0L), m(1L)).size == 1 || m(0L) == 0L)
+    assert(m(0L) == m(1L))
+  }
+
+  test("Label propagation: star adopts hub-or-leaf deterministically") {
+    // star: hub 0 with leaves 1..4. i1: hub -> mode{1,2,3,4} = 1 (tie ->
+    // smallest), leaves -> 0. i2: hub -> 0, leaves -> 1. oscillates; bounded.
+    // Determinism is what we assert: two runs, identical labels.
+    val edges = (1L to 4L).map(v => (0L, v))
+    val r1 = LabelPropagation.run(LinkGraph(edgesDF(edges)),
+      LabelPropagationConfig(maxIterations = 5))
+    val r2 = LabelPropagation.run(LinkGraph(edgesDF(edges)),
+      LabelPropagationConfig(maxIterations = 5))
+    assert(r1.labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .sameElements(
+        r2.labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted))
+  }
+
+  test("degrees: el_test graph exact out/in degrees") {
+    val g = LinkGraph(edgesDF(Fixtures.elTestEdges))
+    val d = g.degrees.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // out degrees (builder.rs:493-564): 0->2, 1->2, 2->1, 3->1, 4->0
+    assert(d(0L) == ((2L, 0L)))
+    assert(d(1L) == ((2L, 1L)))
+    assert(d(2L) == ((1L, 2L)))
+    assert(d(3L) == ((1L, 1L)))
+    assert(d(4L) == ((0L, 2L)))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.algos._
+import graft.fixtures.Fixtures
+import graft.graph.LinkGraph
+
+/** Seeded random graphs vs tiny sequential oracles (SURVEY.md §5.2-2). */
+class RandomOracleSpec extends SparkSpec {
+
+  private val nodes = 120
+  private val edges = Fixtures.randomEdges(nodes, 700, seed = 42L)
+
+  private def bfsComponents(n: Int, es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = Array.fill(n)(List.empty[Int])
+    es.foreach { case (u, v) =>
+      if (u != v) {
+        adj(u.toInt) ::= v.toInt
+        adj(v.toInt) ::= u.toInt
+      }
+    }
+    val comp = Array.fill(n)(-1L)
+    (0 until n).foreach { s =>
+      if (comp(s) < 0) {
+        var queue = List(s); comp(s) = s.toLong
+        while (queue.nonEmpty) {
+          val u = queue.head; queue = queue.tail
+          adj(u).foreach { v =>
+            if (comp(v) < 0) { comp(v) = s.toLong; queue ::= v }
+          }
+        }
+      }
+    }
+    // min-id labeling: BFS from ascending s guarantees comp = min id
+    (0 until n).map(i => i.toLong -> comp(i)).toMap
+  }
+
+  private def bruteTriangles(n: Int, es: Seq[(Long, Long)]): Long = {
+    val adj = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+    es.foreach { case (u, v) =>
+      if (u != v) { adj(u.toInt) += v.toInt; adj(v.toInt) += u.toInt }
+    }
+    var count = 0L
+    for (a <- 0 until n; b <- adj(a) if b > a; c <- adj(b) if c > b)
+      if (adj(a).contains(c)) count += 1
+    count
+  }
+
+  test("PageRank matches sequential reference oracle at convergence") {
+    val g = LinkGraph(edgesDF(edges))
+    val cfg = PageRankConfig(maxIterations = 60, tolerance = 1e-9)
+    val res = PageRank.run(g, cfg)
+    val (ref, _, _) = ReferencePageRank.run(nodes,
+      edges.map { case (u, v) => (u.toInt, v.toInt) }, cfg)
+    val got = res.scores.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    allClose(got, ref.map(_.toDouble).toSeq)
+  }
+
+  test("WCC matches BFS component oracle exactly") {
+    val g = LinkGraph(edgesDF(edges))
+    val res = Wcc.run(g)
+    assert(res.stats.converged)
+    val got = res.components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bfsComponents(nodes, edges))
+  }
+
+  test("triangle count matches brute-force oracle exactly") {
+    val g = LinkGraph(edgesDF(edges))
+    assert(TriangleCount.run(g) == bruteTriangles(nodes, edges))
+  }
+
+  test("sync LPA matches sequential oracle exactly (fixed iterations)") {
+    val k = 5
+    val g = LinkGraph(edgesDF(edges))
+    val res = LabelPropagation.run(g, LabelPropagationConfig(k))
+    // sequential synchronous LPA with smallest-label tie-break, multiset
+    var labels = (0 until nodes).map(_.toLong).toArray
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, (e._2, e._1)))
+    var it = 0
+    var changedAny = true
+    while (it < k && changedAny) {
+      val next = labels.clone()
+      val byDst = und.groupBy(_._2)
+      (0 until nodes).foreach { v =>
+        byDst.get(v.toLong).foreach { inc =>
+          val freq = inc.groupBy(e => labels(e._1.toInt))
+            .view.mapValues(_.size).toMap
+          val best = freq.toSeq.map { case (l, c) => (-c, l) }.min._2
+          next(v) = best
+        }
+      }
+      changedAny = !next.sameElements(labels)
+      labels = next
+      it += 1
+    }
+    val got = res.labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until nodes).forall(v => got(v.toLong) == labels(v)),
+      s"LP mismatch: got=${got.toSeq.sortBy(_._1).take(20)} " +
+        s"want=${labels.take(20).toSeq}")
+  }
+
+  test("SSSP matches Dijkstra oracle exactly") {
+    val wedges = edges.zipWithIndex.map { case ((u, v), i) =>
+      (u, v, 1.0 + (i % 7))
+    }
+    val g = LinkGraph(edgesDF(wedges.map(e => (e._1, e._2)),
+      wedges.map(_._3)))
+    val res = Sssp.run(g, SsspConfig(0L))
+    // Dijkstra
+    val dist = Array.fill(nodes)(Double.PositiveInfinity)
+    dist(0) = 0.0
+    val visited = Array.fill(nodes)(false)
+    val adj = Array.fill(nodes)(List.empty[(Int, Double)])
+    wedges.foreach { case (u, v, w) => adj(u.toInt) ::= (v.toInt, w) }
+    (0 until nodes).foreach { _ =>
+      var best = -1
+      (0 until nodes).foreach(i =>
+        if (!visited(i) && dist(i) < Double.PositiveInfinity &&
+          (best < 0 || dist(i) < dist(best))) best = i)
+      if (best >= 0) {
+        visited(best) = true
+        adj(best).foreach { case (v, w) =>
+          if (dist(best) + w < dist(v)) dist(v) = dist(best) + w
+        }
+      }
+    }
+    val got = res.distances.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until nodes).foreach(v =>
+      assert(got(v.toLong) == dist(v), s"node $v"))
+  }
+}
