@@ -69,8 +69,46 @@ object SparkEntry {
           round(sum(col("l_quantity")), 4).as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
             4).as("sum_revenue"),
-          count(lit(1)).as("count_order")))
+          count(lit(1)).as("count_order"))),
+
+    // ------------------- training-data pipeline ops (documents/embeddings)
+    "t_stats" -> ((s, dir) =>
+      graft.text.TextAnalysis.stats(docs(s, dir))),
+
+    "d_exact_dup" -> ((s, dir) =>
+      graft.dedup.Dedup.exact(docs(s, dir))),
+
+    "d_ngram_jaccard" -> ((s, dir) =>
+      graft.dedup.Dedup.ngramJaccard(docs(s, dir), 0.5)),
+
+    "d_minhash_lsh" -> ((s, dir) => // approximate: rows-only driver check
+      graft.dedup.Dedup.minHashLsh(docs(s, dir), 0.5)),
+
+    "d_simhash_pairs" -> ((s, dir) => // approximate: rows-only driver check
+      graft.dedup.Dedup.simHashPairs(docs(s, dir), 16)),
+
+    "d_embed_dup" -> ((s, dir) =>
+      graft.dedup.Dedup.embeddingDuplicates(embs(s, dir), 0.4)),
+
+    "s_ann_topk" -> ((s, dir) =>
+      graft.sim.Similarity.bruteForceTopK(embs(s, dir), 10L, 5)),
+
+    "s_ann_lsh" -> ((s, dir) => // approximate: rows-only driver check
+      graft.sim.Similarity.lshTopK(embs(s, dir), 10L, 5)),
+
+    "m_blob_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal.asBlobs(docs(s, dir))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"))),
+
+    "m_features" -> ((s, dir) => // stubbed decoder: rows-only driver check
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.asBlobs(docs(s, dir))).toDF())
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   // ---------------------------------------------------------------- oracle
 
@@ -197,6 +235,109 @@ object SparkEntry {
         |  round(sum(l_quantity), 4) AS sum_qty,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_revenue,
         |  count(*)::BIGINT AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "t_stats" -> {
+      def mk(markers: Seq[String]): String =
+        "len(list_filter(w, x -> x IN (" +
+          markers.map(m => s"'$m'").mkString(",") + ")))"
+      val en = mk(Seq("the", "a", "of", "and", "is"))
+      val es = mk(Seq("el", "la", "los", "de", "y"))
+      val de = mk(Seq("der", "die", "das", "und", "ist"))
+      val fr = mk(Seq("le", "la", "les", "et", "est"))
+      s"""WITH t AS (SELECT doc_id, text,
+         |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
+         |SELECT doc_id,
+         |  len(w)::BIGINT AS n_tokens,
+         |  list_sum(list_transform(w, x -> ceil(length(x)/4.0)::BIGINT))
+         |    ::BIGINT AS n_subwords,
+         |  length(text)::BIGINT AS n_chars_computed,
+         |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0
+         |    / greatest(length(text), 1), 6) AS alpha_ratio,
+         |  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))*1.0
+         |    / greatest(length(text), 1), 6) AS punct_ratio,
+         |  round($en*1.0 / greatest(len(w), 1), 6) AS stopword_ratio,
+         |  CASE WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1) < 10
+         |    THEN 'und'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 4 THEN 'en'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 3 THEN 'es'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 2 THEN 'de'
+         |    ELSE 'fr' END AS lang_detected,
+         |  round(0.4 * least(len(w)/64.0, 1.0)
+         |    + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0
+         |        / greatest(length(text), 1))
+         |    + 0.2 * (1.0 -
+         |        length(regexp_replace(text, '[^.,;:!?]', '', 'g'))*1.0
+         |        / greatest(length(text), 1))
+         |    + 0.1 * least(($en*1.0 / greatest(len(w), 1)) * 5.0, 1.0), 6)
+         |    AS quality,
+         |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+         |FROM t""".stripMargin
+    },
+
+    "d_exact_dup" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, min(doc_id) AS canonical_id,
+        |  count(*)::BIGINT AS group_size FROM fp GROUP BY fp)
+        |SELECT f.doc_id, g.canonical_id, g.group_size
+        |FROM fp f JOIN g USING (fp)""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+        |  WHERE len(w) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS s
+        |  FROM toks WHERE len(w) < 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS i FROM sh a
+        |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(i*1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b)
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    "d_embed_dup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |    AS norm FROM embeddings)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 4)
+        |      AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4""".stripMargin,
+
+    "s_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |    AS norm FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+        |  FROM e WHERE vec_id < 10),
+        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round(list_dot_product(q.q_emb, e.emb) / (q.q_norm * e.norm), 4)
+        |    AS cosine
+        |  FROM e JOIN q ON e.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r
+        |WHERE rank <= 5""".stripMargin,
+
+    "m_blob_meta" ->
+      """SELECT doc_id, 'application/fake-image' AS media_type,
+        |  octet_length(encode(text))::BIGINT AS n_bytes
+        |FROM documents""".stripMargin
   )
 }

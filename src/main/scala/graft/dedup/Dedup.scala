@@ -1,0 +1,214 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.Encoders
+
+/** Deduplication operators for training-data pipelines over `documents`.
+  *
+  * Scale shapes:
+  * - exact: one hash-groupBy on the md5 fingerprint (partial-agg, one
+  *   shuffle on a high-cardinality key — no skew).
+  * - n-gram Jaccard: shingle-explode + self-join on shingle; shingle
+  *   frequency is the skew axis, so ultra-common shingles are droppable via
+  *   a document-frequency cap (the standard trick); at 100TB the candidate
+  *   generation must go through MinHash/LSH below instead.
+  * - MinHash+LSH: per-doc signature (groupBy min over seeded xxhash64),
+  *   banding into buckets, candidate pairs via bucket self-join, exact
+  *   Jaccard verification of candidates only. All narrow/agg stages.
+  * - SimHash: custom partial-aggregatable Aggregator summing signed bit
+  *   contributions — one groupBy per doc, then 16-bit band self-join for
+  *   Hamming candidates.
+  * - embedding cosine: brute-force pair join at test scale; the scale path
+  *   is the LSH/IVF bucketing in graft.sim.Similarity.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical id = min doc_id per normalized-text fingerprint.
+    * Output (doc_id, canonical_id, group_size).
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val groups = fp.groupBy(col("fp")).agg(
+      min(col("doc_id")).as("canonical_id"),
+      count(lit(1)).as("group_size"))
+    fp.join(groups, Seq("fp"))
+      .select(col("doc_id"), col("canonical_id"), col("group_size"))
+  }
+
+  /** Distinct word-k-gram shingles per doc: (doc_id, shingle). */
+  def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextAnalysis.shingles(col("text"), k)).as("shingle"))
+      .distinct()
+
+  /** Exact pairwise n-gram Jaccard over shingle sets; emits pairs
+    * (doc_a < doc_b) with jaccard >= threshold. `maxShingleDf` drops
+    * shingles shared by more than that many docs from candidate generation
+    * (skew guard); dropped shingles still count in the set sizes, so the
+    * reported jaccard is exact as long as a qualifying pair shares at least
+    * one sub-threshold shingle (with maxShingleDf = 0 no cap is applied).
+    */
+  def ngramJaccard(
+      docs: DataFrame, threshold: Double, k: Int = 3,
+      maxShingleDf: Long = 0L): DataFrame = {
+    val sh = docShingles(docs, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val candidateSh =
+      if (maxShingleDf <= 0) sh
+      else {
+        val dfreq = sh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf)
+        sh.join(dfreq.select("shingle"), Seq("shingle"))
+      }
+    val inter = candidateSh.as("a")
+      .join(candidateSh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature columns: for each of `numHashes` seeds, the min
+    * seeded xxhash64 over the doc's shingle set.
+    */
+  def minHashSignatures(
+      docs: DataFrame, numHashes: Int = 16, k: Int = 3): DataFrame = {
+    val sh = docShingles(docs, k)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"mh_$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH candidate pairs, verified with exact Jaccard.
+    * bands * rowsPerBand must equal numHashes. Output
+    * (doc_a, doc_b, est_jaccard, jaccard) for verified pairs >= threshold.
+    */
+  def minHashLsh(
+      docs: DataFrame, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minHashSignatures(docs, numHashes, k)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        hash((b * rows until (b + 1) * rows)
+          .map(i => col(s"mh_$i")): _*).cast("long")): _*))
+        .as(Seq("band", "bucket")))
+    val candidates = banded.as("x").join(banded.as("y"),
+      col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // estimated similarity = fraction of matching minhashes
+    val estCols = (0 until numHashes)
+      .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    val est = candidates
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (estCols.cast("double") / numHashes).as("est_jaccard"))
+    // exact verification of candidates only
+    val exactJ = ngramJaccard(docs, 0.0, k)
+      .withColumnRenamed("jaccard", "jaccard")
+    est.join(exactJ, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0.0, Seq("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Partial-aggregatable SimHash: signed per-bit vote accumulation. */
+  private class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) buf(b) += 1 else buf(b) -= 1
+        b += 1
+      }
+      buf
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Int]): Long = {
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (buf(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** 64-bit SimHash per doc over word-unigram xxhash64 values (multiset).
+    * Output (doc_id, simhash).
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val agg = udaf(new SimHashAgg)
+    words.groupBy(col("doc_id")).agg(agg(col("h")).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pairs whose 64-bit signatures agree on at
+    * least one of four 16-bit bands, verified by full Hamming distance <=
+    * maxHamming. Output (doc_a, doc_b, hamming).
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simHash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bucket")))
+    banded.as("x").join(banded.as("y"),
+      col("x.band") === col("y.band") &&
+        col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-duplicates: brute-force pair join with the dot
+    * product as a codegen'd higher-order expression. Exact; the sub-
+    * quadratic scale path is Similarity.lshBuckets.
+    * Output (id_a, id_b, cosine) for cosine >= threshold, round(4).
+    */
+  def embeddingDuplicates(
+      embeddings: DataFrame, threshold: Double): DataFrame = {
+    import graft.sim.Similarity.{cosine, withNorm}
+    val e = withNorm(embeddings)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.emb_d"), col("b.emb_d"),
+          col("a.norm"), col("b.norm")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.algos.{PageRank, Wcc}
+import graft.checkpoint.Checkpointer
+import graft.fixtures.Fixtures
+import graft.graph.LinkGraph
+import java.nio.file.Files
+
+/** Checkpoint/resume (north rule §4.8): a run killed mid-sequence and
+  * resumed from its checkpoint must produce exactly the uninterrupted
+  * result; checkpoints carry per-partition lineage + convergence metrics.
+  */
+class CheckpointSpec extends SparkSpec {
+
+  private val edges = Fixtures.randomEdges(80, 400, seed = 7L)
+
+  test("PageRank resume from checkpoint equals uninterrupted run exactly") {
+    val dir = Files.createTempDirectory("graft-ckpt-pr").toString
+    val g = LinkGraph(edgesDF(edges))
+    val cfg = PageRankConfig(maxIterations = 12, tolerance = 0.0)
+
+    val full = PageRank.run(g, cfg).scores.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // "crash" after 6 iterations: run with maxIterations=6 + checkpointing.
+    // The final iteration is never checkpointed (the caller holds the
+    // result), so the latest durable checkpoint is iteration 3.
+    PageRank.run(g, PageRankConfig(6, 0.0, 0.85),
+      checkpointDir = Some(dir), checkpointEvery = 3)
+    val (meta, _) = Checkpointer.latest(spark, dir).get
+    assert(meta.algorithm == "page_rank")
+    assert(meta.iteration == 3)
+    assert(meta.numPartitions > 0)
+    assert(meta.partitionRows.sum == meta.totalRows)
+    assert(meta.totalRows == 80L)
+
+    // resume: fresh run picks up at iteration 6 and finishes 12
+    val resumed = PageRank.run(g, cfg, checkpointDir = Some(dir))
+    assert(resumed.stats.iterations == 12)
+    val got = resumed.scores.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == full.keySet)
+    // checkpointed doubles round-trip losslessly through parquet, but the
+    // gather's double-sum merge order across shuffle partitions is not
+    // bit-stable between runs — tolerance 1e-12 (vs the 1e-6 contract).
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - full(k)) <= 1e-12, s"node $k: $v vs ${full(k)}") }
+  }
+
+  test("WCC resume equals uninterrupted run exactly") {
+    val dir = Files.createTempDirectory("graft-ckpt-wcc").toString
+    val chain = (0L until 40L).map(i => (i, i + 1)) ++ edges
+    val g = LinkGraph(edgesDF(chain))
+    val full = Wcc.run(g).components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    Wcc.run(g, WccConfig(maxIterations = 2),
+      checkpointDir = Some(dir), checkpointEvery = 2)
+    val (meta, _) = Checkpointer.latest(spark, dir).get
+    assert(meta.algorithm == "wcc" && meta.iteration == 2)
+
+    val resumed = Wcc.run(g, checkpointDir = Some(dir))
+    assert(resumed.stats.converged)
+    val got = resumed.components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+  }
+
+  test("incomplete checkpoint (no _meta.json) is ignored") {
+    val dir = Files.createTempDirectory("graft-ckpt-bad").toString
+    // simulate crash mid-write: state parquet exists, no meta
+    val g = LinkGraph(edgesDF(edges))
+    g.vertices.write.parquet(s"$dir/ckpt-000003/state")
+    assert(Checkpointer.latest(spark, dir).isEmpty)
+  }
+}
