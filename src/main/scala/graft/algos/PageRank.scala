@@ -25,17 +25,30 @@ import org.apache.spark.storage.StorageLevel
   * intra-iteration updates are schedule-dependent at the last f32 bits; our
   * strictly synchronous Double iteration is the deterministic reading of the
   * same recurrence and matches the golden vectors well within the 1e-6
-  * allclose contract.
+  * allclose contract (see ReferencePageRank for the pinned-iteration parity
+  * oracle).
   *
-  * Physical plan per superstep: edges pre-hash-partitioned by src and cached
-  * (InMemoryRelation preserves outputPartitioning, so the big side is never
-  * reshuffled across iterations) join the vertex-state table (broadcast when
-  * below `broadcastVertices`, shuffled-with-AQE otherwise), then
-  * groupBy(dst).sum — partial map-side aggregation absorbs dst-hub skew
-  * before the shuffle, the distributed counterpart of the reference's
-  * degree-balanced work ranges (graph_ops.rs:331-440). Every
-  * `checkpointEvery` iterations state is written + re-read via Checkpointer,
-  * truncating plan lineage and enabling mid-sequence crash-resume.
+  * Physical plan per superstep (kept minimal — 1 shuffle + 1 vertex join):
+  *  - senders: narrow filter/projection over the cached state
+  *    (out_scores = score/out_deg hoisted once per superstep, reference P7)
+  *  - gather: cached edges JOIN vertex state -> groupBy(dst).sum. In
+  *    broadcast mode (state fits memory) the edge side is the row-count-
+  *    BALANCED cache — src-hash partitioning is pathologically skewed under
+  *    Zipf hubs and caps every stage at the hub partition's size — and the
+  *    state is broadcast. Above `broadcastVertices` the join falls back to
+  *    shuffle-hash against the src-partitioned cache (no re-shuffle of the
+  *    big side; AQE skew-split + salting are the skew levers there).
+  *    Partial map-side aggregation absorbs dst-hub skew before the gather
+  *    shuffle — the distributed counterpart of the reference's
+  *    degree-balanced work ranges (graph_ops.rs:331-440).
+  *  - scatter: cached dense degree table LEFT JOIN gathered -> next state.
+  *  - the convergence error is a separate tiny job over two cached states;
+  *    in fixed-iteration mode (tolerance <= 0) it is skipped entirely and
+  *    supersteps chain lazily into one fused Catalyst job.
+  * Eager localCheckpoint truncates plan lineage per superstep
+  * (SURVEY.md §7.4-5); every `checkpointEvery` iterations the state is also
+  * durably written + re-read via Checkpointer for crash-resume with
+  * per-partition lineage.
   */
 object PageRank {
 
@@ -55,9 +68,16 @@ object PageRank {
     val d = config.dampingFactor
     val initScore = 1.0 / n
     val baseScore = (1.0 - d) / n
+    val trackError = config.tolerance > 0.0
 
-    val edges = graph.bySrc
-    // Dense (id, out_deg) over the full vertex universe — built once.
+    // broadcast mode reads the degree-balanced cache (hub-skew-proof:
+    // stage time is bounded by the largest partition, and hash(src)
+    // partitions are pathological under Zipf hubs); shuffle mode needs
+    // src co-location to avoid reshuffling the edges every superstep.
+    val doBroadcast = graph.nodeCount <= broadcastVertices
+    val edges = if (doBroadcast) graph.balanced else graph.bySrc
+    // Dense (id, out_deg) over the full vertex universe — built once,
+    // cached hash-partitioned; the per-superstep scatter join reuses it.
     val degrees = graph.vertices
       .join(edges.groupBy($"src".as("id"))
         .agg(count(lit(1)).cast("double").as("out_deg")), Seq("id"), "left")
@@ -65,54 +85,80 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     degrees.count()
 
-    val doBroadcast = n <= broadcastVertices
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (doBroadcast) broadcast(df) else df
 
     val resume = checkpointDir.flatMap(Checkpointer.latest(spark, _))
       .filter(_._1.algorithm == "page_rank")
     var iteration = resume.map(_._1.iteration).getOrElse(0)
-    // localCheckpoint (eager) after every superstep truncates the logical
-    // plan — persist alone caches data but lineage still nests per
-    // iteration and plan analysis blows up (SURVEY.md §7.4-5).
-    var state: DataFrame = resume.map(_._2.select($"id", $"score"))
-      .getOrElse(degrees.select($"id", lit(initScore).as("score")))
+    // state: (id, score, out_deg). localCheckpoint (eager) per superstep
+    // truncates the logical plan — persist alone caches data but lineage
+    // still nests per iteration (SURVEY.md §7.4-5).
+    var state: DataFrame = resume
+      .map(_._2.select($"id", $"score", $"out_deg"))
+      .getOrElse(degrees.select($"id", lit(initScore).as("score"),
+        $"out_deg"))
       .localCheckpoint()
 
-    var error = Double.MaxValue
+    var error = Double.NaN
     var converged = false
 
     while (!converged && iteration < config.maxIterations) {
-      // senders = vertices with out_deg > 0; out_scores = score/out_deg
-      // precomputed once per superstep (reference P7, page_rank.rs:75-79).
-      val senders = state.join(degrees.filter($"out_deg" > 0), Seq("id"))
+      val senders = state.filter($"out_deg" > 0)
         .select($"id", ($"score" / $"out_deg").as("out_score"))
+      // broadcast mode: one serial driver-side broadcast build per
+      // superstep (right when state << executor memory). shuffle mode:
+      // senders shuffles by src in parallel and meets the pre-partitioned
+      // cached edges with no exchange on the big side — the Amdahl-free
+      // path for large vertex sets.
       val gathered = edges
-        .join(maybeBroadcast(senders), edges("src") === senders("id"))
+        .join(
+          if (doBroadcast) broadcast(senders)
+          else senders.hint("shuffle_hash"),
+          edges("src") === senders("id"))
         .groupBy(edges("dst").as("id"))
         .agg(sum($"out_score").as("in_sum"))
+      // scatter: both sides arrive hash-partitioned by id (cached degrees,
+      // aggregate output) — shuffle_hash joins them in place instead of a
+      // per-superstep driver broadcast of `gathered`.
       val next = degrees
-        .join(maybeBroadcast(gathered), Seq("id"), "left")
+        .join(gathered.hint("shuffle_hash"), Seq("id"), "left")
         .select($"id",
           (lit(baseScore) + lit(d) * coalesce($"in_sum", lit(0.0)))
-            .as("score"))
-        .localCheckpoint()
+            .as("score"),
+          $"out_deg")
 
-      error = next.as("n").join(state.as("p"), Seq("id"))
-        .agg(sum(abs($"n.score" - $"p.score"))).first().getDouble(0)
-
-      state = next
+      if (trackError) {
+        // convergence mode: the error action materializes every superstep
+        // anyway, so truncate lineage eagerly each round.
+        val mat = next.localCheckpoint()
+        error = mat.as("n").join(state.as("p"), Seq("id"))
+          .agg(sum(abs($"n.score" - $"p.score"))).first().getDouble(0)
+        converged = error < config.tolerance
+        state = mat
+      } else {
+        // fixed-iteration mode: chain supersteps LAZILY (state appears once
+        // per level -> linear plan growth) and let Catalyst fuse the whole
+        // sequence into one job; truncate lineage every few rounds to keep
+        // planning cheap. This removes all per-superstep job/materialization
+        // overhead — the difference between anti-scaling and scaling on the
+        // throughput bench.
+        state =
+          if ((iteration + 1) % 5 == 0) next.localCheckpoint()
+          else next
+      }
       iteration += 1
-      converged = error < config.tolerance
 
       if (checkpointDir.isDefined && !converged
           && iteration < config.maxIterations
           && iteration % checkpointEvery == 0) {
         state = Checkpointer.write(checkpointDir.get, "page_rank",
-          iteration, error, state).localCheckpoint()
+          iteration, if (error.isNaN) -1.0 else error, state)
+          .localCheckpoint()
       }
     }
 
-    Result(state, ConvergenceStats(iteration, error, converged))
+    Result(state.select($"id", $"score"),
+      ConvergenceStats(iteration, error, converged))
   }
 }

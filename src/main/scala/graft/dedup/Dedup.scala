@@ -126,10 +126,27 @@ object Dedup {
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (estCols.cast("double") / numHashes).as("est_jaccard"))
-    // exact verification of candidates only
-    val exactJ = ngramJaccard(docs, 0.0, k)
-      .withColumnRenamed("jaccard", "jaccard")
-    est.join(exactJ, Seq("doc_a", "doc_b"), "left")
+    // exact verification of candidate pairs ONLY — never the full pairwise
+    // join (that would defeat LSH's sub-quadratic point at scale): join the
+    // candidate list back to the two shingle sets.
+    val sh = docShingles(docs, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(sh.as("pb"), col("doc_b") === col("pb.doc_id") &&
+        col("pa.shingle") === col("pb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val verified = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+    est.join(verified, Seq("doc_a", "doc_b"), "left")
       .na.fill(0.0, Seq("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

@@ -17,20 +17,23 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cast to double + precompute L2 norm once (reference P7-style hoisting:
-    * one sqrt per vector instead of per pair).
+    * one sqrt per vector instead of per pair). Registers the codegen'd
+    * graft_dot expression on the session.
     */
-  def withNorm(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
+  def withNorm(embeddings: DataFrame): DataFrame = {
+    graft.functions.ArrayDotProduct.register(embeddings.sparkSession)
+    val embD = embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("emb_d"))
-      .withColumn("norm",
-        sqrt(aggregate(col("emb_d"), lit(0.0), (acc, x) => acc + x * x)))
+    embD.withColumn("norm",
+      sqrt(graft.functions.ArrayDotProduct.dot(col("emb_d"), col("emb_d"))))
+  }
 
-  /** cosine(a,b) with precomputed norms; sequential left-to-right double
-    * accumulation (matches the oracle's list_dot_product on DOUBLE[]).
+  /** cosine(a,b) with precomputed norms; the fused-loop dot keeps the
+    * sequential left-to-right double accumulation (matches the oracle's
+    * list_dot_product on DOUBLE[]).
     */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
-      (acc, x) => acc + x) / (normA * normB)
+    graft.functions.ArrayDotProduct.dot(a, b) / (normA * normB)
 
   /** Exact brute-force top-k neighbors for each query vector (vec_id in
     * `queryIds`): broadcast the query set, score the corpus, window top-k.

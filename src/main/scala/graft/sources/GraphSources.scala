@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-format graph sources (SURVEY.md §2.1 S1/S2).
+  *
+  * S1 EdgeListInput (crates/builder/src/input/edgelist.rs:166-278):
+  * whitespace-separated `src dst[ weight]` lines, CRLF tolerated. The
+  * reference mmaps and hand-chunks the file across threads aligned to
+  * newlines; Spark's text source gives the identical parallelism for free
+  * via file splits, so the whole parser is three expressions.
+  *
+  * S2 Graph500Input (crates/builder/src/input/graph500.rs:63-127): packed
+  * 12-byte little-endian records — v0_low:u32, v1_low:u32, high:u32 with
+  * source = v0_low | (high & 0xFFFF) << 32 and
+  * target = v1_low | (high >> 16) << 32; node_count = edge_count/16
+  * (Kronecker scale-factor convention). Read record-parallel via
+  * binaryRecords (the one justified RDD use: fixed-length binary framing has
+  * no DataFrame source) and unpacked with codegen'd expressions.
+  */
+object GraphSources {
+
+  /** S1: text edge list -> (src, dst, weight) DataFrame. */
+  def edgeList(spark: SparkSession, path: String): DataFrame = {
+    spark.read.text(path)
+      .select(split(trim(regexp_replace(col("value"), "\r$", "")), "\\s+")
+        .as("f"))
+      .filter(size(col("f")) >= 2 && col("f").getItem(0) =!= "")
+      .select(
+        col("f").getItem(0).cast("long").as("src"),
+        col("f").getItem(1).cast("long").as("dst"),
+        coalesce(
+          when(size(col("f")) >= 3, col("f").getItem(2)).cast("double"),
+          lit(1.0)).as("weight"))
+  }
+
+  /** S2: graph500 packed binary -> ((src, dst, weight) DataFrame, nodeCount).
+    */
+  def graph500(spark: SparkSession, path: String): (DataFrame, Long) = {
+    import spark.implicits._
+    val records = spark.sparkContext.binaryRecords(path, 12)
+    val edges = records.map { b =>
+      def u32(off: Int): Long =
+        (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+          ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+      val v0Low = u32(0); val v1Low = u32(4); val high = u32(8)
+      val src = v0Low | ((high & 0xFFFFL) << 32)
+      val dst = v1Low | ((high >> 16) << 32)
+      (src, dst, 1.0)
+    }.toDF("src", "dst", "weight")
+    val edgeCount = new java.io.File(path).length() / 12
+    (edges, edgeCount / 16)
+  }
+}

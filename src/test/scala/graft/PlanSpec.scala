@@ -1,0 +1,82 @@
+package graft
+
+import graft.graph.LinkGraph
+import graft.sources.EventEdges
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions: the plans we rely on for 100TB scale
+  * must not silently regress — column pruning reaching the parquet scan,
+  * broadcast gather joins, whole-stage codegen over the text expressions.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("t_stats prunes the documents scan to (doc_id, text)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(TextAnalysis.stats(docs))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      readSchema)
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"unpruned columns in scan: $readSchema")
+  }
+
+  test("event edge derivation prunes events scan (no props/event_type)") {
+    val plan = planOf(EventEdges.edges(spark, sf))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") &&
+      !readSchema.contains("event_type"),
+      s"unpruned columns in scan: $readSchema")
+  }
+
+  test("PageRank gather join broadcasts the vertex state") {
+    val g = LinkGraph(EventEdges.edges(spark, sf))
+    val edges = g.bySrc
+    val senders = g.degrees.filter(col("out_deg") > 0)
+      .select(col("id"), lit(0.5).as("out_score"))
+    val gathered = edges
+      .join(broadcast(senders), edges("src") === senders("id"))
+      .groupBy(edges("dst").as("id"))
+      .agg(sum(col("out_score")).as("in_sum"))
+    val plan = planOf(gathered)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // partial (map-side) aggregation before the shuffle — the hub-skew
+    // absorber: HashAggregate(partial) must appear under the exchange.
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
+  test("text stats are map-only: no exchange in the plan") {
+    // the higher-order lambdas (filter/aggregate over token arrays) fall
+    // back to interpreted projection — acceptable for a narrow map — but a
+    // shuffle appearing here would be a scale regression.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(TextAnalysis.stats(docs))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("graft_dot expression participates in codegen (no fallback)") {
+    import graft.sim.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val e = Similarity.withNorm(emb)
+    val plan = planOf(e)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_dot")),
+      s"graft_dot fell out of codegen:\n${plan.take(2000)}")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 40.0)
+      .select(col("l_orderkey"))
+    val plan = planOf(li)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,40.0)]"), plan.take(2000))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.fixtures.Fixtures
+import graft.io.{GraphCatalog, ParquetTableIO}
+import graft.sources.GraphSources
+import java.nio.file.Files
+
+/** File sources (S1/S2), TableIO serialize round-trip (S5), catalog. */
+class SourcesSpec extends SparkSpec {
+
+  test("edge list text source parses test.el with CRLF and weights") {
+    val dir = Files.createTempDirectory("graft-el")
+    // mirror resources/test.el + CRLF tolerance (edgelist.rs:280-348)
+    Files.writeString(dir.resolve("test.el"),
+      "0 1\r\n0 2\n1 2\n1 3\n2 4\n3 4\n")
+    val got = GraphSources.edgeList(spark, dir.resolve("test.el").toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Fixtures.elTestEdges.sorted)
+
+    Files.writeString(dir.resolve("test.wel"),
+      "0 1 0.1\n0 2 0.2\n1 2 0.3\n1 3 0.4\n2 4 0.5\n3 4 0.6\n")
+    val w = GraphSources.edgeList(spark, dir.resolve("test.wel").toString)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(w((1L, 3L)) == 0.4)
+  }
+
+  test("graph500 binary source unpacks 48-bit packed edges") {
+    // hand-pack two edges incl. ids above 2^32:
+    // (5, 7) and (2^33+1, 2^34+2)
+    val dir = Files.createTempDirectory("graft-g500")
+    val edges = Seq((5L, 7L), ((1L << 33) + 1L, (1L << 34) + 2L))
+    val bytes = new java.io.ByteArrayOutputStream()
+    def putU32(v: Long): Unit =
+      (0 until 4).foreach(i => bytes.write(((v >> (8 * i)) & 0xFF).toInt))
+    edges.foreach { case (s, t) =>
+      putU32(s & 0xFFFFFFFFL)
+      putU32(t & 0xFFFFFFFFL)
+      putU32(((t >> 32) << 16) | (s >> 32))
+    }
+    val p = dir.resolve("two.graph500")
+    Files.write(p, bytes.toByteArray)
+    val (df, nodeCount) = GraphSources.graph500(spark, p.toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == edges.sorted)
+    assert(nodeCount == 0L) // 2 edges / 16 = 0 (Kronecker convention)
+  }
+
+  test("TableIO snapshot write/read round-trip + catalog ops") {
+    val root = Files.createTempDirectory("graft-tables").toString
+    val io = new ParquetTableIO(root)
+    val cat = new GraphCatalog(io)
+    val edges = edgesDF(Fixtures.elTestEdges)
+    cat.create("g1", edges)
+    assert(cat.list() == Seq("g1"))
+    val g = cat.graph(spark, "g1")
+    assert(g.edgeCount == 6L && g.nodeCount == 5L)
+    // snapshot semantics: second write flips atomically, reads see new data
+    io.write("g1", edges.limit(3))
+    assert(io.read(spark, "g1").count() == 3L)
+    cat.remove("g1")
+    assert(cat.list().isEmpty)
+  }
+
+  test("catalog graph round-trips through algorithms (serialize seed S5)") {
+    val root = Files.createTempDirectory("graft-tables2").toString
+    val cat = new GraphCatalog(new ParquetTableIO(root))
+    cat.create("tc", edgesDF(Fixtures.tcDiamondEdges))
+    assert(graft.algos.TriangleCount.run(cat.graph(spark, "tc")) == 2L)
+  }
+}
