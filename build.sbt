@@ -30,3 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 javaOptions ++= sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq
   .flatMap(_.split(" ").filter(_.nonEmpty))
+// local-cluster[...] masters (bench scaling: real executor JVMs) need the
+// Spark dist location + scala version visible to the executor launcher.
+run / envVars ++= Map(
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+  "SPARK_SCALA_VERSION" -> "2.13",
+)
+run / javaOptions += "-Dspark.test.home=/opt/spark"

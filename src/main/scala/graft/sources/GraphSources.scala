@@ -35,6 +35,41 @@ object GraphSources {
           lit(1.0)).as("weight"))
   }
 
+  /** S3: labeled-graph `.graph` text format
+    * (crates/builder/src/input/dotgraph.rs:63-218):
+    *   t <node_count> <edge_count>
+    *   v <id> <label> <degree>   (node_count lines, sorted by id)
+    *   e <src> <dst>             (edge_count lines)
+    * Returns (nodes(id,label,degree), edges(src,dst,weight)). Label
+    * statistics (the reference's LabelStats) are one aggregation away:
+    * `labelStats`.
+    */
+  def dotGraph(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val lines = spark.read.text(path)
+      .select(split(trim(regexp_replace(col("value"), "\r$", "")), "\\s+")
+        .as("f"))
+    val nodes = lines.filter(col("f").getItem(0) === "v")
+      .select(
+        col("f").getItem(1).cast("long").as("id"),
+        col("f").getItem(2).cast("long").as("label"),
+        col("f").getItem(3).cast("long").as("degree"))
+    val edges = lines.filter(col("f").getItem(0) === "e")
+      .select(
+        col("f").getItem(1).cast("long").as("src"),
+        col("f").getItem(2).cast("long").as("dst"),
+        lit(1.0).as("weight"))
+    (nodes, edges)
+  }
+
+  /** Label frequency stats over dotGraph nodes
+    * (dotgraph.rs:220-336 LabelStats analogue).
+    */
+  def labelStats(nodes: DataFrame): DataFrame =
+    nodes.groupBy(col("label"))
+      .agg(count(lit(1)).as("frequency"),
+        max(col("degree")).as("max_degree"))
+
   /** S2: graph500 packed binary -> ((src, dst, weight) DataFrame, nodeCount).
     */
   def graph500(spark: SparkSession, path: String): (DataFrame, Long) = {

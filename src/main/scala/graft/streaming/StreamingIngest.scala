@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest: transcript stream -> reply-edge stream.
+  *
+  * The reference is strictly batch (SURVEY.md §1.4 — nothing streaming in
+  * any crate; the Flight server streams results, not computations), so this
+  * is an extension for continuous pipelines: new transcript files landing in
+  * a directory become edge-table appends, which a periodic batch job folds
+  * into the analytics graph.
+  *
+  * The batch derivation's lag-window over (conv_id, turn_idx) is not
+  * stream-expressible (unbounded state per conversation); the streaming
+  * formulation uses a self-join within a watermark instead: turn k joins
+  * turn k-1 of the same conv_id where both sides are within the lateness
+  * bound. Results are identical for conversations whose turns arrive within
+  * the watermark (the at-most-once-per-(conv,turn) invariant carries the
+  * dedup).
+  */
+object StreamingIngest {
+
+  val transcriptSchema: StructType = StructType(Seq(
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType),
+    StructField("role", StringType),
+    StructField("text", StringType),
+    StructField("tool", StringType),
+    StructField("ts", TimestampType)))
+
+  def readTranscriptStream(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(transcriptSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Streaming reply-edge derivation via watermarked self-join:
+    * edge = actor(turn k) -> actor(turn k-1), weight from `w=` in text.
+    * Emits (src_actor, dst_actor, weight, ts) string-keyed edges; the dense
+    * actor-id mapping stays a batch concern (the dictionary is global).
+    */
+  def edgeStream(transcripts: DataFrame, lateness: String = "10 minutes")
+      : DataFrame = {
+    // each join branch carries exactly one watermark, defined directly on
+    // its own copy of the source (re-watermarking a derived branch is
+    // disallowed)
+    val cur = transcripts
+      .select(col("conv_id"), col("turn_idx"),
+        coalesce(col("tool"), col("role")).as("actor"),
+        col("text"), col("ts"))
+      .withWatermark("ts", lateness)
+      .alias("cur")
+    val prev = transcripts
+      .select(col("conv_id"), (col("turn_idx") + 1).as("next_idx"),
+        coalesce(col("tool"), col("role")).as("prev_actor"),
+        col("ts").as("prev_ts"))
+      .withWatermark("prev_ts", lateness)
+      .alias("prev")
+    cur.join(prev,
+      col("cur.conv_id") === col("prev.conv_id") &&
+        col("cur.turn_idx") === col("next_idx") &&
+        col("prev_ts") >= col("cur.ts") - expr(s"INTERVAL $lateness") &&
+        col("prev_ts") <= col("cur.ts"))
+      .select(
+        col("cur.actor").as("src_actor"),
+        col("prev_actor").as("dst_actor"),
+        coalesce(
+          nullif(regexp_extract(col("cur.text"), "w=([0-9.eE+-]+)", 1),
+            lit("")).cast("double"),
+          lit(1.0)).as("weight"),
+        col("cur.ts").as("ts"))
+  }
+
+  /** Windowed edge-rate aggregation (operational metric stream): edges per
+    * (window, dst_actor) — watermark + tumbling window, append mode.
+    */
+  def edgeRates(edges: DataFrame, window: String = "1 minute"): DataFrame =
+    // the edge stream already carries its watermark on ts (from the
+    // derivation join); re-watermarking a derived stream is disallowed
+    edges
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("dst_actor"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("weight")).as("w_sum"))
+}

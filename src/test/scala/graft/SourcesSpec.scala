@@ -46,6 +46,35 @@ class SourcesSpec extends SparkSpec {
     assert(nodeCount == 0L) // 2 edges / 16 = 0 (Kronecker convention)
   }
 
+  test("dotGraph source parses t/v/e format with label stats") {
+    val dir = Files.createTempDirectory("graft-dot")
+    // 5-node labeled graph in the reference's .graph format
+    // (dotgraph.rs:63-218)
+    Files.writeString(dir.resolve("g.graph"),
+      "t 5 6\nv 0 0 2\nv 1 1 2\nv 2 1 2\nv 3 2 2\nv 4 2 2\n" +
+        "e 0 1\ne 0 2\ne 1 2\ne 1 3\ne 2 4\ne 3 4\n")
+    val (nodes, edges) = graft.sources.GraphSources.dotGraph(spark,
+      dir.resolve("g.graph").toString)
+    assert(nodes.count() == 5)
+    val got = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(got == Fixtures.elTestEdges.sorted)
+    val stats = graft.sources.GraphSources.labelStats(nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats == Map(0L -> 1L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("degree-descending relabel: dense ids ordered by (deg desc, id)") {
+    val g = graft.graph.LinkGraph(edgesDF(Fixtures.elTestEdges))
+    // degrees: 0->2, 1->3, 2->3, 3->2, 4->2 => order 1,2,0,3,4
+    val m = g.relabelMap.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 0L, 2L -> 1L, 0L -> 2L, 3L -> 3L, 4L -> 4L))
+    // relabeled graph preserves structure: same TC
+    assert(graft.algos.TriangleCount.run(g.relabeledByDegree) ==
+      graft.algos.TriangleCount.run(g))
+  }
+
   test("TableIO snapshot write/read round-trip + catalog ops") {
     val root = Files.createTempDirectory("graft-tables").toString
     val io = new ParquetTableIO(root)
