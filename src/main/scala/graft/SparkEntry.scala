@@ -50,7 +50,10 @@ object SparkEntry {
     "g_wcc" -> ((s, dir) => Wcc.run(graph(s, dir)).components),
 
     "g_lp4" -> ((s, dir) =>
-      LabelPropagation.run(graph(s, dir), LabelPropagationConfig(4)).labels),
+      // pinned iterations -> fused fixed-iteration mode (no per-round
+      // changed-count jobs; identical labels, see LabelPropagation)
+      LabelPropagation.run(graph(s, dir),
+        LabelPropagationConfig(4, earlyStop = false)).labels),
 
     "g_triangle_count" -> ((s, dir) => {
       val tc = TriangleCount.run(graph(s, dir))
@@ -78,32 +81,58 @@ object SparkEntry {
     "d_exact_dup" -> ((s, dir) =>
       graft.dedup.Dedup.exact(docs(s, dir))),
 
+    // df cap = 100: candidate generation skips stop-shingles (quadratic
+    // blowup guard, round-1 verdict #5); jaccard itself stays exact over
+    // full shingle sets and the oracle states the identical cap.
     "d_ngram_jaccard" -> ((s, dir) =>
-      graft.dedup.Dedup.ngramJaccard(docs(s, dir), 0.5)),
+      graft.dedup.Dedup.ngramJaccard(docs(s, dir), 0.5,
+        maxShingleDf = NGRAM_DF_CAP)),
 
-    "d_minhash_lsh" -> ((s, dir) => // approximate: rows-only driver check
+    "d_minhash_lsh" -> ((s, dir) =>
       graft.dedup.Dedup.minHashLsh(docs(s, dir), 0.5)),
 
-    "d_simhash_pairs" -> ((s, dir) => // approximate: rows-only driver check
-      graft.dedup.Dedup.simHashPairs(docs(s, dir), 16)),
+    "d_simhash_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.simHashPairs(docs(s, dir), SIMHASH_MAX_HAMMING)),
 
     "d_embed_dup" -> ((s, dir) =>
-      graft.dedup.Dedup.embeddingDuplicates(embs(s, dir), 0.4)),
+      graft.dedup.Dedup.embeddingDuplicates(embs(s, dir), 0.4,
+        numPlanes = EMB_PLANES, numTables = EMB_TABLES, dims = EMB_DIMS)),
 
     "s_ann_topk" -> ((s, dir) =>
       graft.sim.Similarity.bruteForceTopK(embs(s, dir), 10L, 5)),
 
-    "s_ann_lsh" -> ((s, dir) => // approximate: rows-only driver check
-      graft.sim.Similarity.lshTopK(embs(s, dir), 10L, 5)),
+    "s_ann_lsh" -> ((s, dir) =>
+      graft.sim.Similarity.lshTopK(embs(s, dir), 10L, 5,
+        numPlanes = ANN_PLANES, dims = EMB_DIMS)),
 
     "m_blob_meta" -> ((s, dir) =>
       graft.multimodal.Multimodal.asBlobs(docs(s, dir))
         .select(col("doc_id"), col("media_type"), col("n_bytes"))),
 
-    "m_features" -> ((s, dir) => // stubbed decoder: rows-only driver check
-      graft.multimodal.Multimodal.extractFeatures(
-        graft.multimodal.Multimodal.asBlobs(docs(s, dir))).toDF())
+    // driver-comparable scalars + one rounded column per feature lane (the
+    // raw array<double> crashed the driver's pandas comparator, round-1
+    // verdict #1); the FakeDecoder is pure integer arithmetic over payload
+    // bytes, stated identically in the DuckDB oracle.
+    "m_features" -> ((s, dir) => {
+      val f = graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.asBlobs(docs(s, dir))).toDF()
+      val cols = Seq(col("doc_id"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height")) ++
+        (0 until 8).map(j =>
+          round(element_at(col("features"), j + 1), 4).as(s"f$j"))
+      f.select(cols: _*)
+    })
   )
+
+  // LSH / banding parameters shared between the Spark queries and the
+  // generated DuckDB oracle SQL.
+  private val NGRAM_DF_CAP = 100L
+  private val SIMHASH_MAX_HAMMING = 16
+  private val EMB_DIMS = 64
+  private val EMB_PLANES = 6
+  private val EMB_TABLES = 4
+  private val ANN_PLANES = 4
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -111,6 +140,46 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   // ---------------------------------------------------------------- oracle
+
+  import graft.functions.PortableHash.phashSql
+
+  /** Word-token + distinct 3-gram shingle CTEs over `documents` (the DuckDB
+    * statement of TextAnalysis.tokens / .shingles + Dedup.docShingles).
+    */
+  private val TOKS_SH_CTES =
+    """toks AS (SELECT doc_id,
+      |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3
+      |  UNION
+      |  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS s
+      |  FROM toks WHERE len(w) < 3)""".stripMargin
+
+  /** Embeddings CTE: doubles, quantized ints (Similarity.quantize), norm. */
+  private val EMB_CTE =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+      |  list_transform(embedding::DOUBLE[],
+      |    x -> floor(x*1000000)::BIGINT) AS q,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |    AS norm FROM embeddings)""".stripMargin
+
+  /** The DuckDB statement of Similarity.planeComponent/lshBucket: integer
+    * hyperplane components + per-(vector, table) sign-bit buckets.
+    */
+  private def planesBucketsSql(tables: Int, planes: Int, dims: Int): String =
+    s"""planes AS (SELECT t, p, d,
+       |  (${phashSql("t", "p", "d")} % 2001) - 1000 AS c
+       |  FROM unnest(generate_series(0, ${tables - 1})) AS gt(t),
+       |       unnest(generate_series(0, ${planes - 1})) AS gp(p),
+       |       unnest(generate_series(0, ${dims - 1})) AS gd(d)),
+       |dots AS (SELECT vec_id, t, p, sum(q[d+1] * c) AS dot
+       |  FROM e, planes GROUP BY 1, 2, 3),
+       |buckets AS (SELECT vec_id, t,
+       |  sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+       |    AS bucket
+       |  FROM dots GROUP BY 1, 2)""".stripMargin
 
   private val EDGES_CTE =
     "edges AS (" + EventEdges.edgesSql.replace("\n", " ") + ")"
@@ -288,36 +357,95 @@ object SparkEntry {
         |FROM fp f JOIN g USING (fp)""".stripMargin,
 
     "d_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id,
-        |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        |  FROM toks, unnest(generate_series(1, len(w)-2)) AS t(i)
-        |  WHERE len(w) >= 3
-        |  UNION
-        |  SELECT DISTINCT doc_id, array_to_string(w, ' ') AS s
-        |  FROM toks WHERE len(w) < 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  count(*) AS i FROM sh a
-        |  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT doc_a, doc_b,
-        |    round(i*1.0 / (sa.n + sb.n - i), 6) AS jaccard
-        |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b)
-        |WHERE jaccard >= 0.5""".stripMargin,
+      s"""WITH $TOKS_SH_CTES,
+         |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+         |capped AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s)
+         |  WHERE df <= $NGRAM_DF_CAP),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b
+         |  ON a.s = b.s AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(coalesce(i.i, 0)*1.0 / (sa.n + sb.n - coalesce(i.i, 0)),
+         |      6) AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "d_minhash_lsh" ->
+      s"""WITH $TOKS_SH_CTES,
+         |mh AS (SELECT doc_id, i, min(${phashSql("i", "s")}) AS mh
+         |  FROM sh, unnest(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs
+         |  FROM mh GROUP BY 1),
+         |banded AS (SELECT doc_id, b AS band,
+         |  ${phashSql("b", "mhs[4*b+1]", "mhs[4*b+2]",
+              "mhs[4*b+3]", "mhs[4*b+4]")} AS bucket
+         |  FROM sig, unnest(generate_series(0, 3)) AS g(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.doc_id < y.doc_id),
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |  len(list_filter(generate_series(1, 16),
+         |    i -> sa.mhs[i] = sb.mhs[i])) * 1.0 / 16 AS est_jaccard
+         |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
+         |  SELECT e.doc_a, e.doc_b, e.est_jaccard,
+         |    round(coalesce(i.i, 0)*1.0 / (sa.n + sb.n - coalesce(i.i, 0)),
+         |      6) AS jaccard
+         |  FROM est e
+         |  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         |  JOIN sizes sa ON sa.doc_id = e.doc_a
+         |  JOIN sizes sb ON sb.doc_id = e.doc_b)
+         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "d_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |wh AS (SELECT doc_id, ${phashSql("x")} AS h
+         |  FROM toks, unnest(w) AS u(x)),
+         |votes AS (SELECT doc_id, b,
+         |  sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM wh, unnest(generate_series(0, 59)) AS g(b) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |  sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+         |    AS simhash FROM votes GROUP BY 1),
+         |banded AS (SELECT doc_id, simhash, b AS band,
+         |  (simhash >> (b*15)) & 32767 AS bucket
+         |  FROM sig, unnest(generate_series(0, 3)) AS g(b))
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+         |  FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.doc_id < y.doc_id)
+         |WHERE hamming <= $SIMHASH_MAX_HAMMING""".stripMargin,
 
     "d_embed_dup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |    AS norm FROM embeddings)
-        |SELECT id_a, id_b, cosine FROM (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 4)
-        |      AS cosine
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |WHERE cosine >= 0.4""".stripMargin,
+      s"""WITH $EMB_CTE,
+         |${planesBucketsSql(EMB_TABLES, EMB_PLANES, EMB_DIMS)},
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |  ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    round(list_dot_product(ea.emb, eb.emb) / (ea.norm * eb.norm),
+         |      4) AS cosine
+         |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+         |  JOIN e eb ON eb.vec_id = c.id_b)
+         |WHERE cosine >= 0.4""".stripMargin,
 
     "s_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -335,9 +463,53 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cosine, rank FROM r
         |WHERE rank <= 5""".stripMargin,
 
+    "s_ann_lsh" -> {
+      val probes = "bucket" +: (0 until ANN_PLANES)
+        .map(p => s"xor(bucket, ${1L << p})")
+      s"""WITH $EMB_CTE,
+         |${planesBucketsSql(1, ANN_PLANES, EMB_DIMS)},
+         |eb AS (SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id)),
+         |qp AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm,
+         |    pr.probe AS bucket
+         |  FROM eb, unnest([${probes.mkString(", ")}]) AS pr(probe)
+         |  WHERE vec_id < 10),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(q.q_emb, c.emb) / (q.q_norm * c.norm),
+         |      4) AS cosine
+         |  FROM eb c JOIN qp q ON c.bucket = q.bucket
+         |    AND c.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r
+         |WHERE rank <= 5""".stripMargin
+    },
+
     "m_blob_meta" ->
       """SELECT doc_id, 'application/fake-image' AS media_type,
         |  octet_length(encode(text))::BIGINT AS n_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "m_features" -> {
+      val laneSums = (0 until 8).map(j =>
+        s"coalesce(sum(CASE WHEN lane = $j THEN byte END), 0) AS s$j")
+      val feats = (0 until 8).map(j =>
+        s"round(coalesce(f.s$j, 0) / 255.0, 4) AS f$j")
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+         |  octet_length(encode(text))::BIGINT AS n FROM documents),
+         |bytes AS (SELECT doc_id,
+         |    (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1)
+         |      AS byte,
+         |    (i-1) % 8 AS lane
+         |  FROM b, unnest(generate_series(1, n::INT)) AS t(i)),
+         |f AS (SELECT doc_id, ${laneSums.mkString(", ")}
+         |  FROM bytes GROUP BY 1)
+         |SELECT b.doc_id, b.n AS n_bytes,
+         |  (16 + b.n % 16)::BIGINT AS width,
+         |  (16 + (b.n // 16) % 16)::BIGINT AS height,
+         |  ${feats.mkString(",\n  ")}
+         |FROM b LEFT JOIN f USING (doc_id)""".stripMargin
+    }
   )
 }

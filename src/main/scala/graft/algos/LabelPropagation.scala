@@ -59,7 +59,12 @@ object LabelPropagation {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (doBroadcast) broadcast(df) else df
 
-    val resume = checkpointDir.flatMap(Checkpointer.latest(spark, _))
+    val fingerprint = checkpointDir.map(_ =>
+      s"label_propagation|maxIter=${config.maxIterations}" +
+        s"|earlyStop=${config.earlyStop}|n=$n|m=${graph.edgeCount}")
+      .getOrElse("")
+    val resume = checkpointDir
+      .flatMap(Checkpointer.latest(spark, _, fingerprint))
       .filter(_._1.algorithm == "label_propagation")
     var iteration = resume.map(_._1.iteration).getOrElse(0)
     var labels: DataFrame = resume.map(_._2)
@@ -78,26 +83,50 @@ object LabelPropagation {
         .groupBy($"id")
         .agg(max(struct($"cnt", (-$"label").as("neg_label"))).as("m"))
         .select($"id", (-$"m.neg_label").as("new_label"))
-      val next = labels
-        .join(maybeBroadcast(mode), Seq("id"), "left")
-        .select($"id", coalesce($"new_label", $"label").as("label"))
-        .localCheckpoint()
-
-      changed = next.as("n").join(labels.as("p"), Seq("id"))
-        .filter($"n.label" =!= $"p.label").count()
-
-      labels = next
+      if (config.earlyStop) {
+        val next = labels
+          .join(maybeBroadcast(mode), Seq("id"), "left")
+          .select($"id", coalesce($"new_label", $"label").as("label"),
+            // carried flag: convergence check = filter over materialized
+            // state, not a second vertex-vertex join per round.
+            (coalesce($"new_label", $"label") =!= $"label").as("chg"))
+          .localCheckpoint()
+        changed = next.filter($"chg").count()
+        labels = next.select($"id", $"label")
+      } else {
+        // fixed-iteration mode (the PageRank pattern, round-1 verdict #6):
+        // no changed-count job, supersteps chain LAZILY into fused Catalyst
+        // jobs; truncate lineage every few rounds to keep planning cheap.
+        // A labeling that reaches its fixed point inside the budget is
+        // unchanged by the extra rounds, so results match earlyStop runs.
+        // State must appear ONCE per plan level (else the plan doubles per
+        // round): `und` is symmetric, so every vertex with an edge gets a
+        // vote each round, and isolated vertices keep their initial label
+        // (= their own id) forever — next state rebuilds from the constant
+        // vertex universe instead of the previous labels table.
+        val next = graph.vertices
+          .join(maybeBroadcast(mode), Seq("id"), "left")
+          .select($"id", coalesce($"new_label", $"id").as("label"))
+        labels =
+          if ((iteration + 1) % 5 == 0 ||
+              iteration + 1 == config.maxIterations)
+            next.localCheckpoint()
+          else next
+      }
       iteration += 1
 
       if (checkpointDir.isDefined && changed > 0
+          && iteration < config.maxIterations
           && iteration % checkpointEvery == 0) {
         labels = Checkpointer.write(checkpointDir.get, "label_propagation",
-          iteration, changed.toDouble, labels).localCheckpoint()
+          iteration, changed.toDouble, labels, fingerprint).localCheckpoint()
       }
     }
 
     und.unpersist()
     Result(labels,
-      ConvergenceStats(iteration, changed.toDouble, changed == 0))
+      ConvergenceStats(iteration,
+        if (config.earlyStop) changed.toDouble else Double.NaN,
+        config.earlyStop && changed == 0))
   }
 }

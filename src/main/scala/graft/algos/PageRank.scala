@@ -91,7 +91,14 @@ object PageRank {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (doBroadcast) broadcast(df) else df
 
-    val resume = checkpointDir.flatMap(Checkpointer.latest(spark, _))
+    // (config, input) fingerprint: a stale checkpoint dir from a different
+    // graph/damping/tolerance must not silently resume. Only computed when
+    // checkpointing is on (edgeCount is a job).
+    val fingerprint = checkpointDir.map(_ =>
+      s"page_rank|d=$d|maxIter=${config.maxIterations}" +
+        s"|tol=${config.tolerance}|n=$n|m=${graph.edgeCount}").getOrElse("")
+    val resume = checkpointDir
+      .flatMap(Checkpointer.latest(spark, _, fingerprint))
       .filter(_._1.algorithm == "page_rank")
     var iteration = resume.map(_._1.iteration).getOrElse(0)
     // state: (id, score, out_deg). localCheckpoint (eager) per superstep
@@ -156,7 +163,7 @@ object PageRank {
           && iteration < config.maxIterations
           && iteration % checkpointEvery == 0) {
         state = Checkpointer.write(checkpointDir.get, "page_rank",
-          iteration, if (error.isNaN) -1.0 else error, state)
+          iteration, if (error.isNaN) -1.0 else error, state, fingerprint)
           .localCheckpoint()
       }
     }

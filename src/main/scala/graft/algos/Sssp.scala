@@ -44,41 +44,64 @@ object Sssp {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (doBroadcast) broadcast(df) else df
 
-    // dist table holds only REACHED vertices (sparse — tiny early on).
-    var dist = spark.range(1).select(
-      lit(config.startNode).as("id"), lit(0.0).as("dist"))
+    // State holds only REACHED vertices (sparse — tiny early on):
+    // (id, dist, pending) where pending = improved but not yet relaxed.
+    // With finite delta (reference DeltaSteppingConfig, sssp.rs:21-41) each
+    // round's frontier is the pending vertices inside the current distance
+    // band [0, (bucket+1)*delta); when a band drains, the bucket advances to
+    // the band of the smallest pending distance. Infinite delta makes the
+    // threshold +inf — the frontier is all pending vertices (plain frontier
+    // Bellman-Ford). Both schedules reach the identical min-plus fixed point.
+    var state = spark.range(1).select(
+      lit(config.startNode).as("id"), lit(0.0).as("dist"),
+      lit(true).as("pending"))
       .localCheckpoint()
-    var frontier = dist
+    val deltaFinite = !config.delta.isInfinite
+    var bucket = 0L
     var iteration = 0
-    var frontierSize = 1L
+    var done = false
 
-    while (frontierSize > 0 && iteration < config.maxIterations) {
-      val cand = edges
-        .join(maybeBroadcast(frontier), edges("src") === frontier("id"))
-        .groupBy(edges("dst").as("id"))
-        .agg(min($"dist" + $"weight").as("cand"))
-      // eager localCheckpoint truncates the per-round plan lineage
-      // (SURVEY.md §7.4-5); frontier/dist are cheap views over the cached
-      // RDD.
-      val merged = dist.as("d").join(maybeBroadcast(cand).as("c"),
-          Seq("id"), "full")
-        .select($"id",
-          least(coalesce($"d.dist", lit(Double.PositiveInfinity)),
-            coalesce($"c.cand", lit(Double.PositiveInfinity))).as("dist"),
-          ($"c.cand".isNotNull &&
-            ($"d.dist".isNull || $"c.cand" < $"d.dist")).as("improved"))
-        .localCheckpoint()
-      frontier = merged.filter($"improved").select($"id", $"dist")
-      frontierSize = frontier.count()
-      dist = merged.select($"id", $"dist")
-      iteration += 1
+    while (!done && iteration < config.maxIterations) {
+      val threshold =
+        if (deltaFinite) (bucket + 1) * config.delta
+        else Double.PositiveInfinity
+      val frontier = state.filter($"pending" && $"dist" < threshold)
+        .select($"id", $"dist")
+      if (frontier.count() == 0) {
+        // this band is drained; jump to the band of the nearest pending
+        // vertex, or stop when nothing is pending anywhere.
+        val minPending =
+          state.filter($"pending").agg(min($"dist")).first()
+        if (minPending.isNullAt(0)) done = true
+        else bucket =
+          math.floor(minPending.getDouble(0) / config.delta).toLong
+      } else {
+        val cand = edges
+          .join(maybeBroadcast(frontier), edges("src") === frontier("id"))
+          .groupBy(edges("dst").as("id"))
+          .agg(min($"dist" + $"weight").as("cand"))
+        // eager localCheckpoint truncates the per-round plan lineage
+        // (SURVEY.md §7.4-5); frontier/dist are cheap views over the cached
+        // RDD. pending' = newly improved, plus pending vertices beyond the
+        // band that were not relaxed this round.
+        state = state.as("d").join(maybeBroadcast(cand).as("c"),
+            Seq("id"), "full")
+          .select($"id",
+            least(coalesce($"d.dist", lit(Double.PositiveInfinity)),
+              coalesce($"c.cand", lit(Double.PositiveInfinity))).as("dist"),
+            (($"c.cand".isNotNull &&
+              ($"d.dist".isNull || $"c.cand" < $"d.dist")) ||
+              (coalesce($"d.pending", lit(false)) &&
+                $"d.dist" >= threshold)).as("pending"))
+          .localCheckpoint()
+        iteration += 1
+      }
     }
 
     val full = graph.vertices
-      .join(maybeBroadcast(dist), Seq("id"), "left")
+      .join(maybeBroadcast(state.select($"id", $"dist")), Seq("id"), "left")
       .select($"id",
         coalesce($"dist", lit(Double.PositiveInfinity)).as("dist"))
-    Result(full,
-      ConvergenceStats(iteration, frontierSize.toDouble, frontierSize == 0))
+    Result(full, ConvergenceStats(iteration, 0.0, done))
   }
 }

@@ -62,7 +62,11 @@ object Wcc {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (doBroadcast) broadcast(df) else df
 
-    val resume = checkpointDir.flatMap(Checkpointer.latest(spark, _))
+    val fingerprint = checkpointDir.map(_ =>
+      s"wcc|maxIter=${config.maxIterations}|n=$n|m=${graph.edgeCount}")
+      .getOrElse("")
+    val resume = checkpointDir
+      .flatMap(Checkpointer.latest(spark, _, fingerprint))
       .filter(_._1.algorithm == "wcc")
     var iteration = resume.map(_._1.iteration).getOrElse(0)
     // Eager localCheckpoint per round: the pointer-jump self-join would
@@ -77,9 +81,13 @@ object Wcc {
         .join(maybeBroadcast(comp), und("src") === comp("id"))
         .groupBy(und("dst").as("id"))
         .agg(min($"comp").as("nbr_min"))
+      // carry the round-start comp as `prev` so the convergence check is a
+      // flag-filter over the materialized state instead of a second
+      // vertex-vertex join per round (round-1 verdict #6: the per-round
+      // changed-count join was most of the iteration overhead).
       val propagated = comp
         .join(maybeBroadcast(nbrMin), Seq("id"), "left")
-        .select($"id",
+        .select($"id", $"comp".as("prev"),
           least($"comp", coalesce($"nbr_min", $"comp")).as("comp"))
       // pointer jumping: comp(v) <- comp(comp(v)); same fixed point,
       // collapses long chains logarithmically.
@@ -87,20 +95,20 @@ object Wcc {
         .join(maybeBroadcast(
           propagated.select($"id".as("jid"), $"comp".as("jcomp"))),
           $"a.comp" === $"jid", "left")
-        .select($"a.id".as("id"),
+        .select($"a.id".as("id"), $"a.prev".as("prev"),
           least($"a.comp", coalesce($"jcomp", $"a.comp")).as("comp"))
+        .select($"id", $"comp", ($"comp" =!= $"prev").as("chg"))
         .localCheckpoint()
 
-      changed = jumped.as("n").join(comp.as("p"), Seq("id"))
-        .filter($"n.comp" =!= $"p.comp").count()
+      changed = jumped.filter($"chg").count()
 
-      comp = jumped
+      comp = jumped.select($"id", $"comp")
       iteration += 1
 
       if (checkpointDir.isDefined && changed > 0
           && iteration % checkpointEvery == 0) {
         comp = Checkpointer.write(checkpointDir.get, "wcc",
-          iteration, changed.toDouble, comp).localCheckpoint()
+          iteration, changed.toDouble, comp, fingerprint).localCheckpoint()
       }
     }
 

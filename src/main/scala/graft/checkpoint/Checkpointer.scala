@@ -28,13 +28,15 @@ object Checkpointer {
       error: Double,
       numPartitions: Int,
       partitionRows: Seq[Long],
-      totalRows: Long)
+      totalRows: Long,
+      fingerprint: String = "")
 
   private def metaToJson(m: Meta): String = {
     val rows = m.partitionRows.mkString("[", ",", "]")
     s"""{"algorithm":"${m.algorithm}","iteration":${m.iteration},""" +
       s""""error":${m.error},"numPartitions":${m.numPartitions},""" +
-      s""""partitionRows":$rows,"totalRows":${m.totalRows}}"""
+      s""""partitionRows":$rows,"totalRows":${m.totalRows},""" +
+      s""""fingerprint":"${m.fingerprint}"}"""
   }
 
   private def metaFromJson(s: String): Meta = {
@@ -55,19 +57,26 @@ object Checkpointer {
       partitionRows =
         if (rowsStr.trim.isEmpty) Seq.empty
         else rowsStr.split(",").map(_.trim.toLong).toSeq,
-      totalRows = field("totalRows").trim.toLong)
+      totalRows = field("totalRows").trim.toLong,
+      fingerprint =
+        if (s.contains("\"fingerprint\":"))
+          field("fingerprint").stripPrefix("\"").stripSuffix("\"")
+        else "")
   }
 
   private def dir(root: String, iteration: Int): Path =
     Paths.get(root, f"ckpt-$iteration%06d")
 
-  /** Write state + meta; returns the re-read (lineage-truncated) DataFrame. */
+  /** Write state + meta; returns the re-read (lineage-truncated) DataFrame.
+    * `fingerprint` identifies (config, input) — see [[latest]].
+    */
   def write(
       root: String,
       algorithm: String,
       iteration: Int,
       error: Double,
-      state: DataFrame): DataFrame = {
+      state: DataFrame,
+      fingerprint: String = ""): DataFrame = {
     val spark = state.sparkSession
     val d = dir(root, iteration)
     val dataPath = d.resolve("state").toString
@@ -78,14 +87,21 @@ object Checkpointer {
       .orderBy(col("pid")).collect().map(_.getLong(1)).toSeq
     val meta = Meta(algorithm, iteration, error,
       numPartitions = perPart.size, partitionRows = perPart,
-      totalRows = perPart.sum)
+      totalRows = perPart.sum, fingerprint = fingerprint)
     Files.createDirectories(d)
     Files.writeString(d.resolve("_meta.json"), metaToJson(meta))
     reread
   }
 
-  /** Newest complete checkpoint under `root`, if any. */
-  def latest(spark: SparkSession, root: String)
+  /** Newest complete checkpoint under `root`, if any. When
+    * `expectedFingerprint` is non-empty, checkpoints whose recorded
+    * fingerprint differs are IGNORED — a stale dir from a different graph /
+    * damping / tolerance must not silently resume bogus state (round-1
+    * advice: with warmup/timed re-runs it also under-measured later runs by
+    * resuming from the previous run's checkpoints).
+    */
+  def latest(spark: SparkSession, root: String,
+      expectedFingerprint: String = "")
       : Option[(Meta, DataFrame)] = {
     val rootPath = Paths.get(root)
     if (!Files.isDirectory(rootPath)) return None
@@ -95,11 +111,13 @@ object Checkpointer {
         && Files.exists(p.resolve("_meta.json")))
       .sortBy(_.getFileName.toString)
       .reverse
-    candidates.headOption.flatMap { p =>
+    candidates.view.flatMap { p =>
       Try {
         val meta = metaFromJson(Files.readString(p.resolve("_meta.json")))
         (meta, spark.read.parquet(p.resolve("state").toString))
       }.toOption
+    }.find { case (meta, _) =>
+      expectedFingerprint.isEmpty || meta.fingerprint == expectedFingerprint
     }
   }
 }

@@ -23,18 +23,27 @@ import org.apache.spark.sql.functions._
   */
 class LinkGraph private (
     val edges: DataFrame,
-    val numPartitions: Int) extends Serializable {
+    val numPartitions: Int,
+    explicitNodeCount: Long = -1L,
+    val nodeValues: Option[DataFrame] = None) extends Serializable {
 
   private val spark = edges.sparkSession
   import spark.implicits._
 
-  /** max node id + 1, the reference's node_count derivation
-    * (crates/builder/src/input/edgelist.rs:84-90).
+  /** Node count: the explicit override when the input format carries one
+    * (graph500's Kronecker convention node_count = edge_count/16,
+    * crates/builder/src/input/graph500.rs:63-127; node-value-backed builds,
+    * csr.rs:546-574), else max node id + 1, the reference's edge-list
+    * derivation (crates/builder/src/input/edgelist.rs:84-90). The override
+    * matters on inputs with isolated tail vertices: PageRank's n / init /
+    * base scores and the dense vertex universe all depend on it.
     */
-  lazy val nodeCount: Long = {
-    val row = edges.agg(max(greatest($"src", $"dst"))).first()
-    if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
-  }
+  lazy val nodeCount: Long =
+    if (explicitNodeCount >= 0) explicitNodeCount
+    else {
+      val row = edges.agg(max(greatest($"src", $"dst"))).first()
+      if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+    }
 
   lazy val edgeCount: Long = edges.count()
 
@@ -117,21 +126,45 @@ class LinkGraph private (
       .withColumn("deg", $"out_deg" + $"in_deg")
   }
 
-  def toUndirectedGraph: LinkGraph = new LinkGraph(undirected, numPartitions)
+  def toUndirectedGraph: LinkGraph =
+    new LinkGraph(undirected, numPartitions, explicitNodeCount, nodeValues)
+
+  /** Attach per-node values (the reference's NodeValues parallel array,
+    * csr.rs:316-328 / GraphBuilder::node_values, builder.rs:388-401):
+    * a (id, value) table algorithms and property joins can ride on.
+    */
+  def withNodeValues(values: DataFrame): LinkGraph =
+    new LinkGraph(edges, numPartitions, explicitNodeCount, Some(values))
 
   /** Degree-descending relabel (SURVEY.md §2.12; reference
     * make_degree_ordered, graph_ops.rs:511-638 / server to_relabeled,
     * server.rs:341-368): old id -> dense new id ordered by (deg DESC, id
-    * ASC). The map itself is vertex-sized; at extreme scale the global
-    * row_number would become a range-partitioned rank, but TC — the one
-    * consumer that motivated relabeling in the reference — uses local
-    * degree orientation instead and never needs the global rewrite.
+    * ASC), computed as a DISTRIBUTED dense rank — range-partition by the
+    * sort key, rank within each partition, then add broadcast per-partition
+    * offsets. No single-partition global window (round-1 verdict #3: a
+    * bare `row_number() OVER (ORDER BY ...)` shuffles every vertex to one
+    * task); the only driver-side data is the partition-count-sized offset
+    * array.
     */
   def relabelMap: DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    degrees.select($"id",
-      (row_number().over(Window.orderBy($"deg".desc, $"id".asc)) - 1)
-        .cast("long").as("new_id"))
+    val ranked = degrees.select($"id", $"deg")
+      .repartitionByRange(numPartitions, $"deg".desc, $"id".asc)
+      .sortWithinPartitions($"deg".desc, $"id".asc)
+      .select($"id",
+        spark_partition_id().as("pid"),
+        // monotonically_increasing_id = (pid << 33) + row-index-in-partition,
+        // evaluated in the sorted per-partition order -> the local rank.
+        (monotonically_increasing_id()
+          .bitwiseAND(lit((1L << 33) - 1))).as("local_rank"))
+      .persist()
+    val counts = ranked.groupBy($"pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until numPartitions)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetDf = spark.createDataFrame(
+      (0 until numPartitions).map(p => (p, offsets(p)))).toDF("pid", "off")
+    ranked.join(broadcast(offsetDf), Seq("pid"))
+      .select($"id", ($"off" + $"local_rank").as("new_id"))
   }
 
   def relabeledByDegree: LinkGraph = {
@@ -154,7 +187,9 @@ object LinkGraph {
   def apply(
       edges: DataFrame,
       layout: Layout.Value = Layout.AsIs,
-      numPartitions: Int = 0): LinkGraph = {
+      numPartitions: Int = 0,
+      nodeCount: Long = -1L,
+      nodeValues: Option[DataFrame] = None): LinkGraph = {
     val spark = edges.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
@@ -169,7 +204,8 @@ object LinkGraph {
     new LinkGraph(norm.select(
       col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"),
-      coalesce(col("weight"), lit(1.0)).cast("double").as("weight")), parts)
+      coalesce(col("weight"), lit(1.0)).cast("double").as("weight")),
+      parts, nodeCount, nodeValues)
   }
 
   /** Hub-salting helper (SURVEY.md §2.11/§7.4-4): split any join key whose

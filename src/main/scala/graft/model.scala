@@ -35,10 +35,28 @@ case class WccConfig(maxIterations: Int = 200)
 /** Label propagation is absent from the reference (SURVEY.md §2.9); semantics
   * are synchronous LPA (Raghavan et al.) with deterministic smallest-label
   * tie-break so results are exact at convergence.
+  *
+  * `earlyStop = false` pins the run to exactly `maxIterations` supersteps and
+  * skips the per-round changed-count job entirely: supersteps chain lazily
+  * into fused Catalyst jobs (the PageRank fixed-iteration pattern). Results
+  * are identical whenever the labeling reaches a fixed point within the
+  * budget (a fixed point is stable under further LPA rounds).
   */
-case class LabelPropagationConfig(maxIterations: Int = 20)
+case class LabelPropagationConfig(
+    maxIterations: Int = 20,
+    earlyStop: Boolean = true)
 
-case class SsspConfig(startNode: Long, maxIterations: Int = 500)
+/** `delta` mirrors the reference's DeltaSteppingConfig{start_node, delta}
+  * (crates/algos/src/sssp.rs:21-41). Infinite delta (default) = plain
+  * frontier Bellman-Ford (every settled-enough vertex relaxes each round);
+  * a finite delta batches the frontier into distance bands
+  * [b*delta, (b+1)*delta) — same min-plus fixed point, fewer wasted
+  * relaxations on high-diameter weighted graphs.
+  */
+case class SsspConfig(
+    startNode: Long,
+    maxIterations: Int = 500,
+    delta: Double = Double.PositiveInfinity)
 
 /** Result bundles: scores plus convergence metrics, mirroring the reference's
   * (Vec<f32>, iterations, error) return (page_rank.rs:58-61).

@@ -19,7 +19,7 @@ object Multimodal {
   case class BlobRow(doc_id: Long, payload: Array[Byte],
       media_type: String, n_bytes: Long)
   case class FeatureRow(doc_id: Long, n_bytes: Long, width: Int,
-      height: Int, features: Array[Float])
+      height: Int, features: Array[Double])
 
   /** Wrap documents into blob rows: payload = utf-8 bytes of text (the
     * sandbox stand-in for real image/audio bytes), typed metadata columns.
@@ -37,17 +37,20 @@ object Multimodal {
     * the same signature; nothing else changes.
     */
   object FakeDecoder {
-    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
       val n = payload.length
       val width = 16 + (n % 16)
       val height = 16 + ((n / 16) % 16)
-      val features = new Array[Float](8)
+      // integer lane sums, divided once at the end: the feature values are
+      // exact (no accumulation-order float drift), so the DuckDB oracle can
+      // state the identical arithmetic over the payload bytes.
+      val sums = new Array[Long](8)
       var i = 0
       while (i < n) {
-        features(i % 8) += (payload(i) & 0xFF) / 255.0f
+        sums(i % 8) += (payload(i) & 0xFF)
         i += 1
       }
-      (width, height, features)
+      (width, height, sums.map(_ / 255.0))
     }
   }
 

@@ -64,19 +64,32 @@ object Main {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val edges: DataFrame = format match {
-      case "edges" => spark.read.parquet(input)
-      case "events" => EventEdges.edges(spark.read.parquet(input))
+    // graph500 carries an explicit node count (Kronecker convention
+    // node_count = edge_count/16, reference graph500.rs:63-127) that max_id+1
+    // would get wrong on inputs with isolated tail vertices — wire it through
+    // (round-1 verdict #2).
+    val (edges: DataFrame, explicitNodes: Long) = format match {
+      case "edges" => (spark.read.parquet(input), -1L)
+      case "events" => (EventEdges.edges(spark.read.parquet(input)), -1L)
       case "transcripts" =>
-        TranscriptEdges.edges(spark.read.parquet(input))
-      case "edgelist" => GraphSources.edgeList(spark, input)
-      case "graph500" => GraphSources.graph500(spark, input)._1
+        (TranscriptEdges.edges(spark.read.parquet(input)), -1L)
+      case "edgelist" => (GraphSources.edgeList(spark, input), -1L)
+      case "graph500" => GraphSources.graph500(spark, input)
       case other => sys.error(s"unknown format $other")
     }
-    val g = LinkGraph(edges, numPartitions = parts)
+    val g = LinkGraph(edges, numPartitions = parts,
+      nodeCount = explicitNodes)
 
     def writeOut(df: DataFrame): Unit =
       out.foreach(o => df.write.mode("overwrite").parquet(o))
+
+    // Namespace the checkpoint dir per timed run: with warmups/runs > 1 a
+    // later run must not resume from the previous run's checkpoints (that
+    // under-measures avg_seconds). Crash-resume still works for the normal
+    // runs=1 case — the run-0 path is deterministic across launches.
+    val runIdx = new java.util.concurrent.atomic.AtomicInteger(0)
+    def ckptFor(): Option[String] =
+      ckpt.map(c => s"$c/run-${runIdx.getAndIncrement()}")
 
     val (metrics, avgSec): (String, Double) = algo match {
       case "ingest" =>
@@ -90,21 +103,21 @@ object Main {
           arg(args, "tolerance").map(_.toDouble).getOrElse(1e-4),
           arg(args, "damping").map(_.toDouble).getOrElse(0.85))
         val (res, sec) = time(runs, warmups)(() =>
-          PageRank.run(g, cfg, checkpointDir = ckpt))
+          PageRank.run(g, cfg, checkpointDir = ckptFor()))
         writeOut(res.scores)
         val err = if (res.stats.error.isNaN) "null"
           else res.stats.error.toString
         (s""""iterations":${res.stats.iterations},"error":$err""", sec)
       case "wcc" =>
         val (res, sec) = time(runs, warmups)(() =>
-          Wcc.run(g, WccConfig(), checkpointDir = ckpt))
+          Wcc.run(g, WccConfig(), checkpointDir = ckptFor()))
         writeOut(res.components)
         (s""""iterations":${res.stats.iterations}""", sec)
       case "lp" =>
         val cfg = LabelPropagationConfig(
           arg(args, "max-iterations").map(_.toInt).getOrElse(20))
         val (res, sec) = time(runs, warmups)(() =>
-          LabelPropagation.run(g, cfg, checkpointDir = ckpt))
+          LabelPropagation.run(g, cfg, checkpointDir = ckptFor()))
         writeOut(res.labels)
         (s""""iterations":${res.stats.iterations}""", sec)
       case "tc" =>
@@ -112,7 +125,9 @@ object Main {
         (s""""triangles":$n""", sec)
       case "sssp" =>
         val cfg = SsspConfig(
-          arg(args, "start-node").map(_.toLong).getOrElse(0L))
+          arg(args, "start-node").map(_.toLong).getOrElse(0L),
+          delta = arg(args, "delta").map(_.toDouble)
+            .getOrElse(Double.PositiveInfinity))
         val (res, sec) = time(runs, warmups)(() => Sssp.run(g, cfg))
         writeOut(res.distances)
         (s""""iterations":${res.stats.iterations}""", sec)

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import graft.functions.PortableHashJvm
+
+  /** Embedding dimensionality probe (one-row job). */
+  def embedDims(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).first().getInt(0)
+
   /** Cast to double + precompute L2 norm once (reference P7-style hoisting:
     * one sqrt per vector instead of per pair). Registers the codegen'd
     * graft_dot expression on the session.
@@ -56,21 +62,38 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
-    * a pure function of (plane, dim) via xxhash64 — no RNG state, no
-    * broadcast of plane matrices, reproducible everywhere.
+  /** Deterministic pseudo-random integer hyperplane component in
+    * [-1000, 1000]: a pure function of (table, plane, dim) via the
+    * engine-portable 60-bit md5 hash — no RNG state, no broadcast of plane
+    * matrices, and the identical value is computable in the DuckDB oracle
+    * (graft.functions.PortableHash). Exposed for oracle generation.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000003L)).cast("double")
-      / 1000001.5) - 1.0
+  def planeComponent(table: Int, plane: Int, dim: Int): Long =
+    (PortableHashJvm.phash(table, plane, dim) % 2001L) - 1000L
 
-  /** LSH bucket id from `numPlanes` hyperplane sign bits. */
-  def lshBucket(embD: Column, numPlanes: Int): Column = {
+  /** Quantize an array<double> embedding to integers: floor(x * 1e6).
+    * Bucket decisions become EXACT integer arithmetic — bit-identical in
+    * any engine and under any summation order, so the LSH bucketing has a
+    * statable oracle (round-1 verdict: sign-of-float-dot is not portable).
+    * At 1e-6 resolution the hyperplane decision is unchanged for any
+    * realistically-scaled embedding.
+    */
+  def quantize(embD: Column): Column =
+    transform(embD, x => floor(x * 1000000).cast("long"))
+
+  /** LSH bucket id from `numPlanes` hyperplane sign bits over the QUANTIZED
+    * embedding (`quantize`). `table` seeds an independent hash table —
+    * multi-table OR-amplification is the recall lever for pair-blocking.
+    * Plane components are driver-computed literal arrays (pure functions of
+    * (table,plane,dim)), so the per-row work is one integer dot per plane.
+    */
+  def lshBucket(embQ: Column, dims: Int, numPlanes: Int,
+      table: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(embD, sequence(lit(0), size(embD) - 1),
-          (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = typedlit((0 until dims)
+        .map(d => planeComponent(table, p, d)).toArray)
+      val dot = aggregate(zip_with(embQ, plane, (x, c) => x * c),
+        lit(0L), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -85,9 +108,11 @@ object Similarity {
     */
   def lshTopK(
       embeddings: DataFrame, queryMaxId: Long, k: Int,
-      numPlanes: Int = 4): DataFrame = {
+      numPlanes: Int = 4, dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims else embedDims(embeddings)
     val e = withNorm(embeddings)
-      .withColumn("bucket", lshBucket(col("emb_d"), numPlanes))
+      .withColumn("bucket",
+        lshBucket(quantize(col("emb_d")), d, numPlanes))
     val probes = (0 until numPlanes).foldLeft(array(col("bucket"))) {
       (acc, p) => array_append(acc, col("bucket").bitwiseXOR(lit(1L << p)))
     }
