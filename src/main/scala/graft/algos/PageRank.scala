@@ -59,7 +59,8 @@ object PageRank {
       config: PageRankConfig = PageRankConfig(),
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 5,
-      broadcastVertices: Long = 5000000L): Result = {
+      broadcastVertices: Long = 5000000L,
+      gatherSalt: Int = sys.env.getOrElse("GRAFT_SALT", "1").toInt): Result = {
     val spark = graph.edges.sparkSession
     import spark.implicits._
 
@@ -73,18 +74,34 @@ object PageRank {
     // The gather runs on the compressed multigraph (one row per distinct
     // (src,dst) with multiplicity): PageRank is linear in multiplicity, so
     // contribution = cnt * out_score gives identical sums over an 8x
-    // smaller scan (measured on the Zipf bench graph). Row-balanced
-    // partitions absorb hub skew (hash(src) partitioning is pathological
-    // under Zipf hubs and caps every stage at the hub partition's size).
+    // smaller scan (measured on the Zipf bench graph).
     val doBroadcast = graph.nodeCount <= broadcastVertices
-    val edges = graph.multiplicities
+    // broadcast mode: row-balanced cache (hub-skew-proof, state broadcast).
+    // shuffle mode: (src, salt)-hash-partitioned cache — the senders table
+    // shuffles by (src, salt) and meets it with no exchange on the big
+    // side, and Zipf hubs are split across `gatherSalt` partitions instead
+    // of capping one (stage time = slowest partition).
+    val salt = if (doBroadcast) 1 else math.max(1, gatherSalt)
+    // salt == 1 keeps the single-column join key: the composite (src, salt)
+    // probe measured ~+35% CPU across the whole gather scan, so salting
+    // must be opted into for graphs whose hub partitions actually dominate.
+    val (edges, hubs) =
+      if (doBroadcast) (graph.multiplicities, null)
+      else if (salt <= 1) (graph.multiplicitiesBySrc, null)
+      else graph.multiplicitiesSalted(salt)
     // Dense (id, out_deg) over the full vertex universe — built once,
-    // cached hash-partitioned; the per-superstep scatter join reuses it.
+    // cached EXPLICITLY hash(id)-partitioned: the scatter join then meets
+    // the gather aggregate (also hash(id)) co-partitioned, its output stays
+    // hash(id), and the next superstep's senders meet the hash(src) edge
+    // cache with no exchange either — one stage per superstep instead of a
+    // re-exchange of the vertex table every round (spark.range's default
+    // split partitioning satisfies nothing).
     // out_deg counts raw edges = sum of multiplicities.
     val degrees = graph.vertices
       .join(edges.groupBy($"src".as("id"))
         .agg(sum($"cnt").as("out_deg")), Seq("id"), "left")
       .na.fill(0.0, Seq("out_deg"))
+      .repartition(graph.numPartitions, $"id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     degrees.count()
 
@@ -114,18 +131,35 @@ object PageRank {
     var converged = false
 
     while (!converged && iteration < config.maxIterations) {
-      val senders = state.filter($"out_deg" > 0)
+      val senders0 = state.filter($"out_deg" > 0)
         .select($"id", ($"score" / $"out_deg").as("out_score"))
       // broadcast mode: one serial driver-side broadcast build per
       // superstep (right when state << executor memory). shuffle mode:
-      // senders shuffles by src in parallel and meets the pre-partitioned
-      // cached edges with no exchange on the big side — the Amdahl-free
-      // path for large vertex sets.
+      // senders explodes x salt and shuffles by (src, salt) in parallel,
+      // meeting the pre-partitioned cached edges with no exchange on the
+      // big side — the Amdahl-free path for large vertex sets.
+      // hub state rows replicate to their virtual src ids (vid < 0);
+      // everything else ships one row with vid = id. The join key stays a
+      // single long either way.
+      val senders =
+        if (doBroadcast || salt <= 1) senders0
+        else senders0
+          .join(broadcast(hubs.withColumnRenamed("src", "id")), Seq("id"),
+            "left")
+          .withColumn("k", explode_outer(
+            sequence(lit(0), coalesce($"nsalt", lit(1)) - 1)))
+          .select(
+            when($"nsalt".isNotNull, -($"id" * salt + $"k" + 1))
+              .otherwise($"id").as("vid"),
+            $"out_score")
+      val joinKey =
+        if (doBroadcast || salt <= 1) edges("src") === senders("id")
+        else edges("vsrc") === senders("vid")
       val gathered = edges
         .join(
           if (doBroadcast) broadcast(senders)
           else senders.hint("shuffle_hash"),
-          edges("src") === senders("id"))
+          joinKey)
         .groupBy(edges("dst").as("id"))
         .agg(sum($"cnt" * $"out_score").as("in_sum"))
       // scatter: both sides arrive hash-partitioned by id (cached degrees,

@@ -67,7 +67,7 @@ object Scaling {
       b.config("spark.jars", jar)
         .config("spark.executor.extraJavaOptions", addOpens)
         .config("spark.executor.memory",
-          sys.env.getOrElse("GRAFT_EXECUTOR_MEM_MB", "12288") + "m")
+          sys.env.getOrElse("GRAFT_EXECUTOR_MEM_MB", "10240") + "m")
     }
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -95,6 +95,11 @@ object Scaling {
         numActors)
       val edges = TranscriptEdges.edges(ts)
       edges.write.mode("overwrite").parquet(path)
+      // spec marker: a stale dir with _SUCCESS but different params must
+      // not be silently reused (round-1 bench measured a 28M-edge leftover)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "_GRAFT_SPEC"),
+        s"convs=$numConvs,turns=$turnsPerConv,actors=$numActors")
       spark.read.parquet(path).count()
     } finally spark.stop()
   }
@@ -113,28 +118,48 @@ object Scaling {
     */
   def measureMaster(path: String, master: String, totalCores: Int,
       supersteps: Int, broadcastState: Boolean = true): Point = {
+    val times = measureSamples(path, master, totalCores, supersteps,
+      broadcastState, timedRuns = 3).sorted
+    val edges = timesEdges
+    Point(totalCores, edges, supersteps, times(times.size / 2))
+  }
+
+  // edge count of the last measureSamples invocation (samples are seconds)
+  @volatile private var timesEdges: Long = 0L
+  def lastEdges: Long = timesEdges
+
+  /** One session on `master`: warmup run (builds the caches) + `timedRuns`
+    * timed PageRank runs; returns the per-run seconds. The sandbox VM shows
+    * up to 2x host-noise swings between invocations, so protocols should
+    * sample several runs and compare min or median across back-to-back
+    * sessions (see PairCli).
+    */
+  def measureSamples(path: String, master: String, totalCores: Int,
+      supersteps: Int, broadcastState: Boolean,
+      timedRuns: Int, parts: Int = -1): Seq[Double] = {
+    val p =
+      if (parts > 0) parts
+      else sys.env.get("GRAFT_PARTS").map(_.toInt)
+        .getOrElse(math.max(totalCores, 8))
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get("/dev/shm/graft-spark-local"))
-    val spark = sessionFor(master, math.max(totalCores, 8), measureConf)
+    val spark = sessionFor(master, p, measureConf)
     try {
       val edges = spark.read.parquet(path)
-      val g = LinkGraph(edges, numPartitions =
-        sys.env.get("GRAFT_PARTS").map(_.toInt)
-          .getOrElse(math.max(totalCores, 8)))
-      val m = g.edgeCount
-      g.bySrc.count() // materialize the partitioned cache
+      val g = LinkGraph(edges, numPartitions = p)
+      timesEdges = g.edgeCount
+      // (no bySrc materialization here: broadcast-mode PageRank reads only
+      // the compressed multiplicities cache, built during the warmup run —
+      // caching the raw edge table would only burn executor memory)
       val cfg = PageRankConfig(supersteps, 0.0, 0.85)
       val bv = if (broadcastState) 5000000L else 0L
       // fixed-iteration runs are lazy — force the full pipeline with count()
       PageRank.run(g, cfg, broadcastVertices = bv).scores.count() // warmup
-      // median of 3 timed runs: the sandbox VM shows 2x host-noise swings
-      // between invocations, so sample within one session
-      val times = (0 until 3).map { _ =>
+      (0 until timedRuns).map { _ =>
         val t0 = System.nanoTime()
         PageRank.run(g, cfg, broadcastVertices = bv).scores.count()
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      Point(totalCores, m, supersteps, times(1))
+      }
     } finally spark.stop()
   }
 
@@ -151,6 +176,71 @@ object Scaling {
   }
 }
 
+/** The two-cluster-size gate protocol (BASELINE.md): back-to-back sessions
+  * N -> 4N -> N on the same input, `timedRuns` timed runs each, best (min
+  * wall) per master — host noise only ever ADDS time, and the repeated N
+  * session makes drift visible. Efficiency = eps(4N) / (4 * eps(N_best)).
+  */
+object Pair {
+  case class Result(
+      specN: String, spec4N: String, coresN: Int, cores4N: Int,
+      edges: Long, supersteps: Int,
+      secN: Double, sec4N: Double, secN2: Double, efficiency: Double) {
+    def epsN: Double = edges.toDouble * supersteps / secN
+    def eps4N: Double = edges.toDouble * supersteps / sec4N
+    def json: String =
+      f"""{"protocol":"local-cluster N vs 4N executors","edges":$edges,""" +
+        f""""supersteps":$supersteps,"n":"$specN","4n":"$spec4N",""" +
+        f""""cores_n":$coresN,"cores_4n":$cores4N,""" +
+        f""""sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,""" +
+        f""""sec_n_recheck":$secN2%.2f,""" +
+        f""""eps_n":$epsN%.0f,"eps_4n":$eps4N%.0f,""" +
+        f""""efficiency":$efficiency%.3f}"""
+  }
+
+  def master(spec: String): (String, Int) =
+    if (spec.contains("x")) {
+      val Array(n, c) = spec.split("x").map(_.toInt)
+      val mem = sys.env.getOrElse("GRAFT_EXECUTOR_MEM_MB", "10240")
+      (s"local-cluster[$n,$c,$mem]", n * c)
+    } else (s"local[$spec]", spec.toInt)
+
+  def run(path: String, specN: String, spec4N: String, supersteps: Int,
+      broadcastState: Boolean, timedRuns: Int = 5,
+      recheck: Boolean = true, parts: Int = -1): Result = {
+    val (mN, cN) = master(specN)
+    val (m4, c4) = master(spec4N)
+    require(c4 == 4 * cN, s"$spec4N is not 4x $specN")
+    val sN1 = Scaling.measureSamples(path, mN, cN, supersteps,
+      broadcastState, timedRuns, parts).min
+    val s4 = Scaling.measureSamples(path, m4, c4, supersteps,
+      broadcastState, timedRuns, parts).min
+    val sN2 =
+      if (recheck) Scaling.measureSamples(path, mN, cN, supersteps,
+        broadcastState, timedRuns, parts).min
+      else sN1
+    val edges = Scaling.lastEdges
+    val bestN = math.min(sN1, sN2)
+    Result(specN, spec4N, cN, c4, edges, supersteps, bestN, s4, sN2,
+      (edges.toDouble * supersteps / s4) /
+        (4.0 * edges.toDouble * supersteps / bestN))
+  }
+}
+
+/** runMain graft.bench.PairCli <edgesPath> <NxC> <4NxC> <steps> <bcast>
+  * GRAFT_TIMED_RUNS (default 5) and GRAFT_QUICK=1 (skip the N recheck
+  * session) trade confidence for exploration speed.
+  */
+object PairCli {
+  def main(args: Array[String]): Unit = {
+    val Array(path, a, b, steps, bcast) = args
+    val r = Pair.run(path, a, b, steps.toInt, bcast.toBoolean,
+      timedRuns = sys.env.getOrElse("GRAFT_TIMED_RUNS", "5").toInt,
+      recheck = sys.env.getOrElse("GRAFT_QUICK", "0") != "1")
+    println(r.json)
+  }
+}
+
 /** Manual experiment CLI:
   * runMain graft.bench.ScalingCli <edgesPath> <cores> <supersteps> <bcast>
   */
@@ -161,7 +251,7 @@ object ScalingCli {
     // executor JVMs: n executors x c cores)
     val p = if (cores.contains("x")) {
       val Array(n, c) = cores.split("x").map(_.toInt)
-      val mem = sys.env.getOrElse("GRAFT_EXECUTOR_MEM_MB", "12288")
+      val mem = sys.env.getOrElse("GRAFT_EXECUTOR_MEM_MB", "10240")
       Scaling.measureMaster(path, s"local-cluster[$n,$c,$mem]", n * c,
         steps.toInt, broadcastState = bcast.toBoolean)
     } else Scaling.measure(path, cores.toInt, steps.toInt,

@@ -9,47 +9,112 @@ import java.nio.file.{Files, Paths}
   * (crates/builder/src/input/binary.rs:15-38, csr.rs:247-314) and serves a
   * named in-memory catalog over Arrow Flight (crates/server/src/catalog.rs).
   * Our serialized graph IS a columnar table: Iceberg in deployment, a
-  * parquet directory + `_graft_meta.json` sidecar (snapshot id, row count)
-  * in this sandbox — same trait, drop-in backend (SURVEY.md §7 preamble:
-  * no Iceberg runtime jar offline, so core never imports org.apache.iceberg).
+  * parquet directory + `_graft_meta.json` sidecar (snapshot id, row count,
+  * data-dir manifest) in this sandbox — same trait, drop-in backend
+  * (SURVEY.md §7 preamble: no Iceberg runtime jar offline, so core never
+  * imports org.apache.iceberg).
   */
 trait TableIO {
   def write(name: String, df: DataFrame): Unit
+
+  /** Append rows as a new snapshot WITHOUT rewriting existing data — the
+    * distributed analogue of the reference's incremental
+    * EdgeMutation::add_edge path (crates/builder/src/graph/adj_list.rs:
+    * 371-404, trait at lib.rs:414-456): the increment lands in its own
+    * data dir and the snapshot manifest grows by one entry, exactly how an
+    * Iceberg append commits a new manifest. Readers of the new snapshot see
+    * old + new rows; readers mid-flight keep their snapshot.
+    */
+  def append(name: String, df: DataFrame): Unit
+
+  /** Rewrite the current snapshot's (possibly many) data dirs into one —
+    * Iceberg's compaction/rewrite action. A no-op on single-dir snapshots.
+    */
+  def compact(spark: SparkSession, name: String): Unit
+
   def read(spark: SparkSession, name: String): DataFrame
   def list(): Seq[String]
   def drop(name: String): Unit
   def exists(name: String): Boolean
 }
 
-/** Parquet-directory backend. Snapshot semantics: writes go to a new
-  * `snap-<n>` subdirectory, then the sidecar flips atomically — readers
-  * always see a complete snapshot, and history is retained for lineage.
+/** Parquet-directory backend. Snapshot semantics: each write/append creates
+  * data under a new `snap-<n>` dir and atomically flips the sidecar, whose
+  * `dirs` array is the manifest of data dirs making up the current
+  * snapshot — writes replace it, appends extend it. Readers always see a
+  * complete snapshot; history is retained for lineage.
   */
 class ParquetTableIO(root: String) extends TableIO {
 
   private def dir(name: String) = Paths.get(root, name)
   private def metaPath(name: String) = dir(name).resolve("_graft_meta.json")
 
-  override def write(name: String, df: DataFrame): Unit = {
-    val currentSnap = if (exists(name)) currentSnapshot(name) + 1 else 0L
-    val dataDir = dir(name).resolve(s"snap-$currentSnap")
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val rows = df.sparkSession.read.parquet(dataDir.toString).count()
+  private def commit(
+      name: String, snapshot: Long, rows: Long, dirs: Seq[String]): Unit = {
     Files.createDirectories(dir(name))
+    val dirsJson = dirs.map(d => s""""$d"""").mkString("[", ",", "]")
     Files.writeString(metaPath(name),
-      s"""{"name":"$name","snapshot":$currentSnap,"rows":$rows}""")
+      s"""{"name":"$name","snapshot":$snapshot,"rows":$rows,""" +
+        s""""dirs":$dirsJson}""")
   }
 
-  private def currentSnapshot(name: String): Long = {
+  override def write(name: String, df: DataFrame): Unit = {
+    val snap = if (exists(name)) currentSnapshot(name) + 1 else 0L
+    val dataDir = dir(name).resolve(s"snap-$snap")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val rows = df.sparkSession.read.parquet(dataDir.toString).count()
+    commit(name, snap, rows, Seq(s"snap-$snap"))
+  }
+
+  override def append(name: String, df: DataFrame): Unit = {
+    if (!exists(name)) { write(name, df); return }
+    val snap = currentSnapshot(name) + 1
+    val dataDir = dir(name).resolve(s"snap-$snap")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val newRows = df.sparkSession.read.parquet(dataDir.toString).count()
+    commit(name, snap, currentRows(name) + newRows,
+      currentDirs(name) :+ s"snap-$snap")
+  }
+
+  override def compact(spark: SparkSession, name: String): Unit = {
+    require(exists(name), s"table $name not found under $root")
+    if (currentDirs(name).size <= 1) return
+    val all = read(spark, name)
+    val snap = currentSnapshot(name) + 1
+    val dataDir = dir(name).resolve(s"snap-$snap")
+    all.write.mode("overwrite").parquet(dataDir.toString)
+    val rows = spark.read.parquet(dataDir.toString).count()
+    commit(name, snap, rows, Seq(s"snap-$snap"))
+  }
+
+  private def metaField(name: String, field: String): String = {
     val s = Files.readString(metaPath(name))
-    val i = s.indexOf("\"snapshot\":") + 11
-    s.substring(i).takeWhile(c => c.isDigit).toLong
+    val i = s.indexOf("\"" + field + "\":") + field.length + 3
+    s.substring(i).takeWhile(c => c != ',' && c != '}')
+  }
+
+  private def currentSnapshot(name: String): Long =
+    metaField(name, "snapshot").trim.toLong
+
+  private def currentRows(name: String): Long =
+    metaField(name, "rows").trim.toLong
+
+  private def currentDirs(name: String): Seq[String] = {
+    val s = Files.readString(metaPath(name))
+    val i = s.indexOf("\"dirs\":[")
+    if (i < 0) Seq(s"snap-${currentSnapshot(name)}") // pre-manifest sidecar
+    else {
+      val body = s.substring(i + 8, s.indexOf("]", i))
+      if (body.trim.isEmpty) Seq.empty
+      else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .toSeq
+    }
   }
 
   override def read(spark: SparkSession, name: String): DataFrame = {
     require(exists(name), s"table $name not found under $root")
-    val snap = currentSnapshot(name)
-    spark.read.parquet(dir(name).resolve(s"snap-$snap").toString)
+    val paths = currentDirs(name).map(d => dir(name).resolve(d).toString)
+    spark.read.parquet(paths: _*)
   }
 
   override def list(): Seq[String] = {
@@ -71,12 +136,47 @@ class ParquetTableIO(root: String) extends TableIO {
 
 /** Graph catalog over TableIO: the Flight server's create/list/remove/
   * compute surface (crates/server/src/server.rs:296-339) re-expressed as
-  * named edge tables.
+  * named edge tables, plus computed-property tables as catalog citizens
+  * (the reference's do_get result streaming, server.rs:70-107 /
+  * catalog.rs:270-288: a computed property is retrievable BY NAME after the
+  * algorithm ran, not just dumped to a directory).
   */
 class GraphCatalog(io: TableIO) {
   def create(name: String, edges: DataFrame): Unit = io.write(name, edges)
+
+  /** Append an edge increment (e.g. a StreamingIngest batch) to a named
+    * graph; algorithms on the next `graph()` call see the union.
+    */
+  def appendEdges(name: String, edges: DataFrame): Unit =
+    io.append(name, edges)
+
+  def compact(spark: SparkSession, name: String): Unit =
+    io.compact(spark, name)
+
   def graph(spark: SparkSession, name: String): graft.graph.LinkGraph =
     graft.graph.LinkGraph(io.read(spark, name))
-  def list(): Seq[String] = io.list()
-  def remove(name: String): Unit = io.drop(name)
+
+  private def propTable(graph: String, prop: String) = s"$graph.prop.$prop"
+
+  /** Store an algorithm result (id -> value frame) as a named property of
+    * the graph.
+    */
+  def writeProperty(graph: String, prop: String, df: DataFrame): Unit =
+    io.write(propTable(graph, prop), df)
+
+  def readProperty(
+      spark: SparkSession, graph: String, prop: String): DataFrame =
+    io.read(spark, propTable(graph, prop))
+
+  def listProperties(graph: String): Seq[String] =
+    io.list().filter(_.startsWith(s"$graph.prop."))
+      .map(_.stripPrefix(s"$graph.prop."))
+
+  def list(): Seq[String] =
+    io.list().filterNot(_.contains(".prop."))
+
+  def remove(name: String): Unit = {
+    io.list().filter(_.startsWith(s"$name.prop.")).foreach(io.drop)
+    io.drop(name)
+  }
 }

@@ -102,8 +102,10 @@ object Main {
           arg(args, "max-iterations").map(_.toInt).getOrElse(20),
           arg(args, "tolerance").map(_.toDouble).getOrElse(1e-4),
           arg(args, "damping").map(_.toDouble).getOrElse(0.85))
+        val gatherSalt = arg(args, "gather-salt").map(_.toInt).getOrElse(1)
         val (res, sec) = time(runs, warmups)(() =>
-          PageRank.run(g, cfg, checkpointDir = ckptFor()))
+          PageRank.run(g, cfg, checkpointDir = ckptFor(),
+            gatherSalt = gatherSalt))
         writeOut(res.scores)
         val err = if (res.stats.error.isNaN) "null"
           else res.stats.error.toString

@@ -24,14 +24,37 @@ object EventEdges {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/events.parquet")
 
+  /** Two-level windowing (round-1 verdict #7: a single hour-partitioned
+    * window makes parallelism = #distinct hours, and one bursty hour
+    * serializes into one task): the lag runs within (hour, minute) buckets,
+    * and each minute's FIRST event gets its predecessor from a tiny
+    * per-minute boundary table (last user of the previous non-empty minute
+    * in the same hour, stitched via a broadcast join). Semantically
+    * identical to the single hour-window lag — minute buckets are
+    * contiguous slices of the hour ordering — which is exactly the form the
+    * DuckDB oracle states (edgesSql below); EventEdgesSpec asserts the
+    * equivalence row-for-row.
+    */
   def edges(events: DataFrame): DataFrame = {
+    val base = events
+      .select(col("ts"), col("event_id"), col("user_id"), col("value"))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withColumn("minute", date_trunc("minute", col("ts")))
     val w = Window
-      .partitionBy(date_trunc("hour", col("ts")))
+      .partitionBy(col("hour"), col("minute"))
       .orderBy(col("ts"), col("event_id"))
-    events
-      .select(col("ts"), col("event_id"), col("user_id"),
-        col("value"))
+    val bounds = base.groupBy(col("hour"), col("minute"))
+      .agg(max_by(col("user_id"), struct(col("ts"), col("event_id")))
+        .as("last_user"))
+    val wb = Window.partitionBy(col("hour")).orderBy(col("minute"))
+    val prevBounds = bounds
+      .withColumn("prev_last", lag(col("last_user"), 1).over(wb))
+      .select(col("hour"), col("minute"), col("prev_last"))
+    base
       .withColumn("prev_user", lag(col("user_id"), 1).over(w))
+      .join(broadcast(prevBounds), Seq("hour", "minute"), "left")
+      .withColumn("prev_user",
+        coalesce(col("prev_user"), col("prev_last")))
       .filter(col("prev_user").isNotNull)
       .select(
         col("user_id").as("src"),

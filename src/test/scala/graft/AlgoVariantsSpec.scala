@@ -1,0 +1,93 @@
+package graft
+
+import graft.algos.{LabelPropagation, PageRank, Sssp}
+import graft.graph.LinkGraph
+import graft.sources.EventEdges
+import org.apache.spark.sql.functions._
+
+/** Round-2 algorithm variants: delta-stepping SSSP, fused fixed-iteration
+  * LP, explicit node counts, distributed relabel rank.
+  */
+class AlgoVariantsSpec extends SparkSpec {
+
+  private lazy val g =
+    LinkGraph(EventEdges.edges(spark, "/root/testdata/sf0.001"))
+
+  test("SSSP with finite delta reaches the identical fixed point") {
+    val inf = Sssp.run(g, SsspConfig(0L)).distances.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val banded = Sssp.run(g, SsspConfig(0L, delta = 3.0)).distances
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inf == banded)
+  }
+
+  test("SSSP relaxation rounds stay within the oracle's 12-step unroll") {
+    // the driver oracle (SparkEntry.ssspSql) unrolls exactly 12 rounds; the
+    // engine's round count IS the data's relaxation depth, so this pins the
+    // fixture invariant the oracle depends on.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val res = Sssp.run(LinkGraph(EventEdges.edges(spark, dir)),
+        SsspConfig(0L))
+      assert(res.stats.converged &&
+        res.stats.iterations <= 12,
+        s"$dir: ${res.stats.iterations} rounds > oracle unroll 12")
+    }
+  }
+
+  test("LP fixed-iteration mode matches earlyStop mode at convergence") {
+    val a = LabelPropagation.run(g, LabelPropagationConfig(4)).labels
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = LabelPropagation.run(g,
+      LabelPropagationConfig(4, earlyStop = false)).labels
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("explicit nodeCount: isolated tail vertices join the universe") {
+    val s = spark
+    import s.implicits._
+    // graph500-style: edges only among 0..2, declared node count 8
+    // (Kronecker convention, reference graph500.rs:63-127) — PageRank's n,
+    // init and base scores must use 8, and ids 3..7 must appear.
+    val edges = Seq((0L, 1L, 1.0), (1L, 2L, 1.0)).toDF("src", "dst",
+      "weight")
+    val g8 = LinkGraph(edges, nodeCount = 8L)
+    assert(g8.nodeCount == 8L)
+    val scores = PageRank.run(g8, PageRankConfig(3, 0.0, 0.85)).scores
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.size == 8)
+    assert(math.abs(scores(7L) - 0.15 / 8) < 1e-12) // isolated: base score
+    val g3 = LinkGraph(edges)
+    assert(g3.nodeCount == 3L) // default unchanged: max_id + 1
+  }
+
+  test("shuffle-mode PageRank (virtual hub split) == broadcast mode") {
+    // broadcastVertices = 0 forces the shuffle gather; gatherSalt > 1
+    // routes hub srcs through virtual split ids. Scores must be identical
+    // (same sums, same grouping) regardless of mode and salt.
+    val cfg = PageRankConfig(5, 0.0, 0.85)
+    val base = PageRank.run(g, cfg).scores.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Seq(1, 4).foreach { s =>
+      val shuffled = PageRank.run(g, cfg, broadcastVertices = 0L,
+        gatherSalt = s).scores.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(shuffled.keySet == base.keySet)
+      shuffled.foreach { case (id, v) =>
+        assert(math.abs(v - base(id)) < 1e-12, s"salt=$s id=$id")
+      }
+    }
+  }
+
+  test("distributed relabel rank == single-window row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val expected = g.degrees.select(col("id"),
+      (row_number().over(
+        Window.orderBy(col("deg").desc, col("id").asc)) - 1)
+        .cast("long").as("new_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = g.relabelMap.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}

@@ -79,4 +79,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
       "GreaterThan(l_quantity,40.0)]"), plan.take(2000))
   }
+
+  test("embedding dedup executes without a cartesian-class join") {
+    // round-1 verdict #4: the all-pairs inequality join was the one
+    // scale-killer plan; the LSH-blocked operator must stay equi-join-only.
+    val plan = planOf(SparkEntry.queries("d_embed_dup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian-class join in d_embed_dup:\n${plan.take(3000)}")
+  }
+
+  test("ngram jaccard query executes without a cartesian-class join") {
+    val plan = planOf(SparkEntry.queries("d_ngram_jaccard")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian-class join in d_ngram_jaccard:\n${plan.take(3000)}")
+  }
+
+  test("relabel map has no single-partition global window") {
+    // round-1 verdict #3: row_number over an unpartitioned Window shuffles
+    // every vertex into one task. The distributed dense rank must plan with
+    // no Window operator at all.
+    val g = LinkGraph(EventEdges.edges(spark, sf))
+    val plan = planOf(g.relabelMap)
+    // the parallel (hour, minute)-partitioned lag windows of the edge
+    // derivation are fine; the forbidden shape is the rank's global window
+    assert(!plan.contains("row_number"),
+      s"global row_number window in relabelMap plan:\n${plan.take(3000)}")
+    assert(plan.contains("rangepartitioning"), plan.take(3000))
+  }
 }
