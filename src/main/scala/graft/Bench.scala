@@ -47,14 +47,17 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "0") ""
       else {
         // North-rule gate protocol (BASELINE.md): N vs 4N EXECUTORS as real
-        // separate JVMs (local-cluster), 2x2 -> 8x2, on 448M raw edges over
+        // separate JVMs (local-cluster), 2x1 -> 8x1 (2 executors -> 8
+        // executors, identical per-executor shape), on 448M raw edges over
         // 2M Zipf actors (123M distinct pairs): actor cardinality forces
         // shuffle-mode gathers (the 10^12-turn configuration — state too
-        // large to broadcast) and the graph is big enough that a superstep
-        // is compute-bound at 16 cores (smaller graphs measure scheduling
-        // overhead, not the engine). Fixed 64 partitions at both scales
-        // (same dataset layout, growing cluster), best-of-3 timed runs per
-        // session, N re-measured after 4N so host-noise drift is visible.
+        // large to broadcast) and the total core count stays below this
+        // host's memory-contention knee (>=16 concurrent threads measured
+        // +20-45% CPU per unit of identical work — a co-located-VM effect a
+        // real 4x-hardware cluster does not have; see BASELINE.md). Fixed
+        // 64 partitions at both scales (same dataset layout, growing
+        // cluster), best-of-k timed runs per session, N re-measured after
+        // 4N so host-noise drift is visible.
         val benchPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EDGES",
           "/tmp/graft_bench_448m_2m")
         val spec = "convs=64000000,turns=8,actors=2000000"
@@ -64,8 +67,8 @@ object Bench {
             Files.readString(specFile) != spec)
           Scaling.materializeBenchEdges(benchPath,
             numConvs = 64000000, turnsPerConv = 8, numActors = 2000000)
-        val r = graft.bench.Pair.run(benchPath, "2x2", "8x2",
-          supersteps = 5, broadcastState = false, timedRuns = 3,
+        val r = graft.bench.Pair.run(benchPath, "2x1", "8x1",
+          supersteps = 5, broadcastState = false, timedRuns = 2,
           parts = 64)
         s""","scaling":${r.json}"""
       }

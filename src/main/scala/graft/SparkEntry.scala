@@ -33,15 +33,10 @@ object SparkEntry {
     "g_to_undirected" -> ((s, dir) =>
       graph(s, dir).undirected),
 
-    "g_relabel_map" -> ((s, dir) => {
-      // degree-descending relabel map (SURVEY.md §2.12,
-      // graph_ops.rs:511-638): old id -> new id by (deg DESC, id ASC).
-      import org.apache.spark.sql.expressions.Window
-      graph(s, dir).degrees.select(col("id"),
-        (row_number().over(
-          Window.orderBy(col("deg").desc, col("id").asc)) - 1)
-          .cast("long").as("new_id"))
-    }),
+    // degree-descending relabel map (SURVEY.md §2.12, graph_ops.rs:511-638):
+    // old id -> new id by (deg DESC, id ASC), via the DISTRIBUTED dense rank
+    // (round-1 verdict #3 killed the single-partition global window).
+    "g_relabel_map" -> ((s, dir) => graph(s, dir).relabelMap),
 
     "g_pagerank5" -> ((s, dir) =>
       PageRank.run(graph(s, dir), PageRankConfig(5, 0.0, 0.85))
@@ -103,7 +98,7 @@ object SparkEntry {
 
     "s_ann_lsh" -> ((s, dir) =>
       graft.sim.Similarity.lshTopK(embs(s, dir), 10L, 5,
-        numPlanes = ANN_PLANES, dims = EMB_DIMS)),
+        numPlanes = ANN_PLANES, dims = EMB_DIMS, numTables = ANN_TABLES)),
 
     "m_blob_meta" -> ((s, dir) =>
       graft.multimodal.Multimodal.asBlobs(docs(s, dir))
@@ -133,6 +128,7 @@ object SparkEntry {
   private val EMB_PLANES = 6
   private val EMB_TABLES = 4
   private val ANN_PLANES = 4
+  private val ANN_TABLES = 2
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -467,17 +463,21 @@ object SparkEntry {
       val probes = "bucket" +: (0 until ANN_PLANES)
         .map(p => s"xor(bucket, ${1L << p})")
       s"""WITH $EMB_CTE,
-         |${planesBucketsSql(1, ANN_PLANES, EMB_DIMS)},
-         |eb AS (SELECT e.*, b.bucket FROM e JOIN buckets b USING (vec_id)),
-         |qp AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm,
-         |    pr.probe AS bucket
+         |${planesBucketsSql(ANN_TABLES, ANN_PLANES, EMB_DIMS)},
+         |eb AS (SELECT e.vec_id, e.emb, e.norm, b.t, b.bucket
+         |  FROM e JOIN buckets b USING (vec_id)),
+         |qp AS (SELECT vec_id AS query_id, t, emb AS q_emb,
+         |    norm AS q_norm, pr.probe AS bucket
          |  FROM eb, unnest([${probes.mkString(", ")}]) AS pr(probe)
          |  WHERE vec_id < 10),
-         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-         |    round(list_dot_product(q.q_emb, c.emb) / (q.q_norm * c.norm),
-         |      4) AS cosine
-         |  FROM eb c JOIN qp q ON c.bucket = q.bucket
+         |cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         |  FROM eb c JOIN qp q ON c.t = q.t AND c.bucket = q.bucket
          |    AND c.vec_id <> q.query_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |    round(list_dot_product(eq.emb, en.emb)
+         |      / (eq.norm * en.norm), 4) AS cosine
+         |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+         |  JOIN e en ON en.vec_id = cand.neighbor_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |  ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
          |  FROM scored)

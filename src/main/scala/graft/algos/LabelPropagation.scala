@@ -43,21 +43,27 @@ object LabelPropagation {
 
     val n = graph.nodeCount
     require(n > 0, "LP on empty graph")
+    val doBroadcast = n <= broadcastVertices
     // Undirected multiset view as a compressed multigraph: duplicates count
     // toward the mode via the multiplicity column (identical votes, 8x
     // smaller scan on duplicate-heavy graphs); self-loops excluded (a
-    // vertex does not vote for itself). Row-balanced partitions (hub skew).
+    // vertex does not vote for itself). Broadcast mode reads row-balanced
+    // partitions (hub skew can't cap a stage); shuffle mode reads hash(src)
+    // partitions so the per-round state join needs no exchange on the big
+    // side (the PageRank cache split).
     val m = graph.multiplicities.filter($"src" =!= $"dst")
-    val und = m.select($"src", $"dst", $"cnt")
+    val undBase = m.select($"src", $"dst", $"cnt")
       .union(m.select($"dst".as("src"), $"src".as("dst"), $"cnt"))
       .groupBy($"src", $"dst").agg(sum($"cnt").as("cnt"))
-      .repartition(graph.numPartitions)
+    val und = (if (doBroadcast) undBase.repartition(graph.numPartitions)
+               else undBase.repartition(graph.numPartitions, $"src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
-
-    val doBroadcast = n <= broadcastVertices
+    // broadcast when the vertex state fits; otherwise hint shuffle-hash so
+    // the planner builds the (small) state side and NEVER sort-merges the
+    // cached edge side (an SMJ would re-sort the big table every round)
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (doBroadcast) broadcast(df) else df
+      if (doBroadcast) broadcast(df) else df.hint("shuffle_hash")
 
     val fingerprint = checkpointDir.map(_ =>
       s"label_propagation|maxIter=${config.maxIterations}" +

@@ -41,8 +41,11 @@ object Sssp {
     val edges = graph.bySrc
 
     val doBroadcast = n <= broadcastVertices
+    // broadcast when the vertex state fits; otherwise hint shuffle-hash so
+    // the planner builds the (small) state side and NEVER sort-merges the
+    // cached edge side (an SMJ would re-sort the big table every round)
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (doBroadcast) broadcast(df) else df
+      if (doBroadcast) broadcast(df) else df.hint("shuffle_hash")
 
     // State holds only REACHED vertices (sparse — tiny early on):
     // (id, dist, pending) where pending = improved but not yet relaxed.

@@ -59,8 +59,11 @@ object Wcc {
     und.count()
 
     val doBroadcast = n <= broadcastVertices
+    // broadcast when the vertex state fits; otherwise hint shuffle-hash so
+    // the planner builds the (small) state side and NEVER sort-merges the
+    // cached edge side (an SMJ would re-sort the big table every round)
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (doBroadcast) broadcast(df) else df
+      if (doBroadcast) broadcast(df) else df.hint("shuffle_hash")
 
     val fingerprint = checkpointDir.map(_ =>
       s"wcc|maxIter=${config.maxIterations}|n=$n|m=${graph.edgeCount}")

@@ -13,18 +13,21 @@ import org.apache.spark.sql.Encoders
   * Scale shapes:
   * - exact: one hash-groupBy on the md5 fingerprint (partial-agg, one
   *   shuffle on a high-cardinality key — no skew).
-  * - n-gram Jaccard: shingle-explode + self-join on shingle; shingle
-  *   frequency is the skew axis, so ultra-common shingles are droppable via
-  *   a document-frequency cap (the standard trick); at 100TB the candidate
-  *   generation must go through MinHash/LSH below instead.
-  * - MinHash+LSH: per-doc signature (groupBy min over seeded xxhash64),
-  *   banding into buckets, candidate pairs via bucket self-join, exact
-  *   Jaccard verification of candidates only. All narrow/agg stages.
+  * - n-gram Jaccard: df-capped shingle self-join for candidates (the
+  *   stop-shingle quadratic guard) + exact verification over full shingle
+  *   sets; at 100TB the candidate generation must go through MinHash/LSH
+  *   below instead.
+  * - MinHash+LSH: per-doc signature (groupBy min over the seeded
+  *   engine-portable hash — graft.functions.PortableHash, statable in the
+  *   DuckDB oracle), banding into buckets, candidate pairs via bucket
+  *   self-join, exact Jaccard verification of candidates only. All
+  *   narrow/agg stages.
   * - SimHash: custom partial-aggregatable Aggregator summing signed bit
-  *   contributions — one groupBy per doc, then 16-bit band self-join for
+  *   contributions — one groupBy per doc, then 15-bit band self-join for
   *   Hamming candidates.
-  * - embedding cosine: brute-force pair join at test scale; the scale path
-  *   is the LSH/IVF bucketing in graft.sim.Similarity.
+  * - embedding cosine: multi-table hyperplane-LSH blocking + exact cosine
+  *   verification of candidates (sub-quadratic); the all-pairs exact form
+  *   survives as embeddingDuplicatesExact behind a size guard.
   */
 object Dedup {
 

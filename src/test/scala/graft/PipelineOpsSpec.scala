@@ -106,9 +106,10 @@ class PipelineOpsSpec extends SparkSpec {
     val lsh = Similarity.lshTopK(emb, 10L, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
-    // single-probe 6-plane LSH on 64-dim uniform vectors: recall is modest
-    // by design; assert it beats random chance materially.
-    assert(recall >= 0.1, s"LSH recall $recall")
+    // 2 tables x 4 planes x Hamming-1 probes measured 0.72 top-5 recall on
+    // this corpus; assert the honest floor (round-1 verdict #10: the old
+    // >= 0.1 bound was near-meaningless).
+    assert(recall >= 0.6, s"LSH recall $recall")
     assert(lsh.nonEmpty)
   }
 
