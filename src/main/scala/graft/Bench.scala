@@ -67,9 +67,12 @@ object Bench {
             Files.readString(specFile) != spec)
           Scaling.materializeBenchEdges(benchPath,
             numConvs = 64000000, turnsPerConv = 8, numActors = 2000000)
+        // recheck=false keeps the driver bench under ~12 min; protocol
+        // stability (three full runs incl. N rechecks: 0.936 / 0.823 /
+        // 0.886) is documented in BASELINE.md
         val r = graft.bench.Pair.run(benchPath, "2x1", "8x1",
           supersteps = 5, broadcastState = false, timedRuns = 2,
-          parts = 64)
+          recheck = false, parts = 64)
         s""","scaling":${r.json}"""
       }
 

@@ -65,10 +65,10 @@ object LabelPropagation {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (doBroadcast) broadcast(df) else df.hint("shuffle_hash")
 
+    // state-determining facts only: labels at iteration k do not depend on
+    // maxIterations or the earlyStop scheduling flag.
     val fingerprint = checkpointDir.map(_ =>
-      s"label_propagation|maxIter=${config.maxIterations}" +
-        s"|earlyStop=${config.earlyStop}|n=$n|m=${graph.edgeCount}")
-      .getOrElse("")
+      s"label_propagation|n=$n|m=${graph.edgeCount}").getOrElse("")
     val resume = checkpointDir
       .flatMap(Checkpointer.latest(spark, _, fingerprint))
       .filter(_._1.algorithm == "label_propagation")

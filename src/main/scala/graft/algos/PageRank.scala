@@ -108,12 +108,13 @@ object PageRank {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (doBroadcast) broadcast(df) else df
 
-    // (config, input) fingerprint: a stale checkpoint dir from a different
-    // graph/damping/tolerance must not silently resume. Only computed when
-    // checkpointing is on (edgeCount is a job).
+    // Stale-checkpoint guard, computed only when checkpointing is on
+    // (edgeCount is a job). The fingerprint carries only STATE-determining
+    // facts (damping, graph): a checkpoint at iteration k is valid for any
+    // maxIterations/tolerance (those only decide when to stop), but never
+    // for a different graph or damping factor.
     val fingerprint = checkpointDir.map(_ =>
-      s"page_rank|d=$d|maxIter=${config.maxIterations}" +
-        s"|tol=${config.tolerance}|n=$n|m=${graph.edgeCount}").getOrElse("")
+      s"page_rank|d=$d|n=$n|m=${graph.edgeCount}").getOrElse("")
     val resume = checkpointDir
       .flatMap(Checkpointer.latest(spark, _, fingerprint))
       .filter(_._1.algorithm == "page_rank")

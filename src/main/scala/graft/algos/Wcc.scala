@@ -65,9 +65,10 @@ object Wcc {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (doBroadcast) broadcast(df) else df.hint("shuffle_hash")
 
+    // state-determining facts only: the comp labeling at iteration k does
+    // not depend on maxIterations.
     val fingerprint = checkpointDir.map(_ =>
-      s"wcc|maxIter=${config.maxIterations}|n=$n|m=${graph.edgeCount}")
-      .getOrElse("")
+      s"wcc|n=$n|m=${graph.edgeCount}").getOrElse("")
     val resume = checkpointDir
       .flatMap(Checkpointer.latest(spark, _, fingerprint))
       .filter(_._1.algorithm == "wcc")

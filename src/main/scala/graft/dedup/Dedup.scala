@@ -65,23 +65,62 @@ object Dedup {
       docs: DataFrame, threshold: Double, k: Int = 3,
       maxShingleDf: Long = 0L): DataFrame = {
     val sh = docShingles(docs, k)
-    val candidateSh =
-      if (maxShingleDf <= 0) sh
-      else {
-        val dfreq = sh.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf)
-        sh.join(dfreq.select("shingle"), Seq("shingle"))
-      }
-    val candidates = candidateSh.as("a")
-      .join(candidateSh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(candidates, sh)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    if (maxShingleDf <= 0) {
+      // no cap: the capped self-join below IS the full exact computation
+      val candidates = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      jaccardOf(candidates, sh).filter(col("jaccard") >= threshold)
+    } else {
+      // Exact intersection in two disjoint parts — no second full-set
+      // self-join: (1) the capped self-join counts shared sub-cap shingles
+      // and DEFINES the candidate pairs; (2) shared over-cap shingles are
+      // recovered by joining the candidate list to the (per-doc tiny)
+      // over-cap shingle sets. inter = inter_capped + inter_over is the
+      // full-set intersection for every candidate pair.
+      val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val capped = sh.join(
+        dfreq.filter(col("df") <= maxShingleDf).select("shingle"),
+        Seq("shingle"))
+      val interCapped = capped.as("a")
+        .join(capped.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter_c"))
+      val over = sh.join(
+        dfreq.filter(col("df") > maxShingleDf).select("shingle"),
+        Seq("shingle"))
+      val interOver = interCapped.select(col("doc_a"), col("doc_b"))
+        .join(over.as("oa"), col("doc_a") === col("oa.doc_id"))
+        .join(over.as("ob"), col("doc_b") === col("ob.doc_id") &&
+          col("oa.shingle") === col("ob.shingle"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter_o"))
+      val inter = interCapped
+        .join(interOver, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0L, Seq("inter_o"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter_c") + col("inter_o")).as("inter"))
+      jaccardOf(inter, sh).filter(col("jaccard") >= threshold)
+    }
+  }
+
+  /** jaccard from per-pair intersection counts + per-doc set sizes. */
+  private def jaccardOf(inter: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
   }
 
   /** Exact Jaccard of candidate (doc_a, doc_b) pairs over full shingle

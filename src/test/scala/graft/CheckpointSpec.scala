@@ -66,6 +66,24 @@ class CheckpointSpec extends SparkSpec {
     assert(got == full)
   }
 
+  test("checkpoint with a different config fingerprint is not resumed") {
+    val dir = Files.createTempDirectory("graft-ckpt-fp").toString
+    val g = LinkGraph(edgesDF(edges))
+    // leave checkpoints from a damping=0.5 run in the dir
+    PageRank.run(g, PageRankConfig(6, 0.0, 0.5),
+      checkpointDir = Some(dir), checkpointEvery = 3)
+    assert(Checkpointer.latest(spark, dir).nonEmpty)
+    // a damping=0.85 run must ignore them (stale-resume guard) and match a
+    // checkpoint-free run exactly
+    val clean = PageRank.run(g, PageRankConfig(6, 0.0, 0.85)).scores
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val guarded = PageRank.run(g, PageRankConfig(6, 0.0, 0.85),
+      checkpointDir = Some(dir)).scores
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    guarded.foreach { case (k, v) =>
+      assert(math.abs(v - clean(k)) <= 1e-12, s"node $k") }
+  }
+
   test("incomplete checkpoint (no _meta.json) is ignored") {
     val dir = Files.createTempDirectory("graft-ckpt-bad").toString
     // simulate crash mid-write: state parquet exists, no meta
