@@ -28,20 +28,25 @@ import org.apache.spark.storage.StorageLevel
   * allclose contract (see ReferencePageRank for the pinned-iteration parity
   * oracle).
   *
-  * Physical plan per superstep (kept minimal — 1 shuffle + 1 vertex join):
-  *  - senders: narrow filter/projection over the cached state
+  * Physical plan per superstep (kept minimal):
+  *  - senders: narrow filter/projection over the state
   *    (out_scores = score/out_deg hoisted once per superstep, reference P7)
   *  - gather: cached edges JOIN vertex state -> groupBy(dst).sum. In
   *    broadcast mode (state fits memory) the edge side is the row-count-
   *    BALANCED cache — src-hash partitioning is pathologically skewed under
   *    Zipf hubs and caps every stage at the hub partition's size — and the
-  *    state is broadcast. Above `broadcastVertices` the join falls back to
-  *    shuffle-hash against the src-partitioned cache (no re-shuffle of the
-  *    big side; AQE skew-split + salting are the skew levers there).
+  *    state is broadcast. Above `broadcastVertices` the join is a
+  *    shuffle-hash build of the state against the src-partitioned cache.
   *    Partial map-side aggregation absorbs dst-hub skew before the gather
-  *    shuffle — the distributed counterpart of the reference's
-  *    degree-balanced work ranges (graph_ops.rs:331-440).
+  *    shuffle; optional `gatherSalt` > 1 splits heavy srcs across
+  *    partitions via virtual ids — the distributed counterpart of the
+  *    reference's degree-balanced work ranges (graph_ops.rs:331-440).
   *  - scatter: cached dense degree table LEFT JOIN gathered -> next state.
+  *  - the whole vertex path is hash-aligned: degrees cached hash(id), the
+  *    gather aggregate lands hash(id), the scatter join is co-partitioned,
+  *    and the next senders meet the hash(src) edge cache in place — a
+  *    shuffle-mode superstep executes as ONE stage whose only shuffle is
+  *    the partial-aggregated gather output.
   *  - the convergence error is a separate tiny job over two cached states;
   *    in fixed-iteration mode (tolerance <= 0) it is skipped entirely and
   *    supersteps chain lazily into one fused Catalyst job.

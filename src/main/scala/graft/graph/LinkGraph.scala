@@ -204,26 +204,10 @@ class LinkGraph private (
     * task); the only driver-side data is the partition-count-sized offset
     * array.
     */
-  def relabelMap: DataFrame = {
-    val ranked = degrees.select($"id", $"deg")
-      .repartitionByRange(numPartitions, $"deg".desc, $"id".asc)
-      .sortWithinPartitions($"deg".desc, $"id".asc)
-      .select($"id",
-        spark_partition_id().as("pid"),
-        // monotonically_increasing_id = (pid << 33) + row-index-in-partition,
-        // evaluated in the sorted per-partition order -> the local rank.
-        (monotonically_increasing_id()
-          .bitwiseAND(lit((1L << 33) - 1))).as("local_rank"))
-      .persist()
-    val counts = ranked.groupBy($"pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until numPartitions)
-      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offsetDf = spark.createDataFrame(
-      (0 until numPartitions).map(p => (p, offsets(p)))).toDF("pid", "off")
-    ranked.join(broadcast(offsetDf), Seq("pid"))
-      .select($"id", ($"off" + $"local_rank").as("new_id"))
-  }
+  def relabelMap: DataFrame =
+    DistributedRank.withDenseRank(degrees.select($"id", $"deg"),
+      Seq($"deg".desc, $"id".asc), numPartitions, "new_id")
+      .select($"id", $"new_id")
 
   def relabeledByDegree: LinkGraph = {
     val m = relabelMap

@@ -24,14 +24,21 @@ object TranscriptEdges {
   val ACTOR = "actor"
 
   /** Dense actor dictionary: actor string -> 0-based Long id, ordered by
-    * actor key ascending. Deterministic across partitionings.
+    * actor key ascending. Deterministic across partitionings; computed as a
+    * DISTRIBUTED dense rank (graft.graph.DistributedRank) — a global
+    * `dense_rank() OVER (ORDER BY ...)` would pull every distinct actor
+    * through one task, which at 10^12-turn scale (millions of actors) is
+    * the same single-partition window the relabel map had to shed.
     */
   def actorDictionary(transcripts: DataFrame): DataFrame = {
-    transcripts
+    val distinctActors = transcripts
       .select(coalesce(col("tool"), col("role")).as(ACTOR))
       .distinct()
-      .select(col(ACTOR), (dense_rank().over(Window.orderBy(col(ACTOR))) - 1)
-        .cast("long").as("actor_id"))
+    val parts = transcripts.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    graft.graph.DistributedRank.withDenseRank(distinctActors,
+      Seq(col(ACTOR).asc), parts, "actor_id")
+      .select(col(ACTOR), col("actor_id"))
   }
 
   /** Per-turn actor + previous-turn actor via lag over (conv_id, turn_idx). */

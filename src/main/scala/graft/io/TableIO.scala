@@ -156,6 +156,10 @@ class GraphCatalog(io: TableIO) {
   def graph(spark: SparkSession, name: String): graft.graph.LinkGraph =
     graft.graph.LinkGraph(io.read(spark, name))
 
+  /** Raw named-table read (non-edge schemas, e.g. streaming staging). */
+  def table(spark: SparkSession, name: String): DataFrame =
+    io.read(spark, name)
+
   private def propTable(graph: String, prop: String) = s"$graph.prop.$prop"
 
   /** Store an algorithm result (id -> value frame) as a named property of

@@ -75,6 +75,50 @@ object StreamingIngest {
         col("cur.ts").as("ts"))
   }
 
+  /** foreachBatch sink: every micro-batch of derived (string-keyed) edges
+    * is APPENDED to a named catalog staging table as a new manifest
+    * snapshot (io.TableIO.append) — the streaming end of the reference's
+    * incremental add_edge mutation path (adj_list.rs:371-404). Restart-safe
+    * via the streaming checkpoint; snapshot manifests make each batch an
+    * atomic append.
+    */
+  def sinkToCatalog(
+      edges: DataFrame, catalog: graft.io.GraphCatalog,
+      stagingTable: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) catalog.appendEdges(stagingTable, batch)
+      }
+      .start()
+
+  /** Fold the accumulated staging table into the dense-id analytics graph:
+    * global actor dictionary (a batch concern — the stream can't assign
+    * stable dense ids) via the distributed rank, then (src, dst, weight)
+    * written as `graphName`. Periodic batch job in a continuous pipeline.
+    */
+  def foldIntoGraph(
+      spark: SparkSession, catalog: graft.io.GraphCatalog,
+      stagingTable: String, graphName: String): Unit = {
+    val staged = catalog.table(spark, stagingTable)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val dict = graft.graph.DistributedRank.withDenseRank(
+      staged.select(col("src_actor").as("actor"))
+        .union(staged.select(col("dst_actor"))).distinct(),
+      Seq(col("actor").asc), parts, "actor_id")
+    val edges = staged
+      .join(broadcast(dict
+        .withColumnRenamed("actor", "src_actor")
+        .withColumnRenamed("actor_id", "src")), Seq("src_actor"))
+      .join(broadcast(dict
+        .withColumnRenamed("actor", "dst_actor")
+        .withColumnRenamed("actor_id", "dst")), Seq("dst_actor"))
+      .select(col("src"), col("dst"), col("weight"))
+    catalog.create(graphName, edges)
+  }
+
   /** Windowed edge-rate aggregation (operational metric stream): edges per
     * (window, dst_actor) — watermark + tumbling window, append mode.
     */

@@ -37,6 +37,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"stream=$got batch=$batch")
   }
 
+  test("stream -> catalog append -> fold equals the batch graph") {
+    import graft.io.{GraphCatalog, ParquetTableIO}
+    val dir = Files.createTempDirectory("graft-stream-cat").toString
+    val ts = Fixtures.transcriptsFromEdges(spark,
+      Fixtures.elTestEdges, 5L, Fixtures.welTestWeights)
+    // two file drops -> at least two micro-batches with maxFilesPerTrigger=1
+    val (tsA, tsB) = {
+      val parts = ts.randomSplit(Array(0.5, 0.5), seed = 1L)
+      (parts(0), parts(1))
+    }
+    tsA.write.mode("overwrite").parquet(s"$dir/in/batchA")
+    tsB.write.mode("overwrite").parquet(s"$dir/in/batchB")
+
+    val cat = new GraphCatalog(new ParquetTableIO(s"$dir/cat"))
+    val stream = StreamingIngest.readTranscriptStream(spark, s"$dir/in/*",
+      maxFilesPerTrigger = 1)
+    val q = StreamingIngest.sinkToCatalog(
+      StreamingIngest.edgeStream(stream), cat, "stage", s"$dir/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    StreamingIngest.foldIntoGraph(spark, cat, "stage", "g")
+    val folded = cat.graph(spark, "g")
+    // same multiset of actor-name edges as the full batch derivation
+    // (dense ids are assigned over the staged actors, deterministic order)
+    val batch = TranscriptEdges.edges(ts)
+    assert(folded.edgeCount == batch.count())
+    val dict = TranscriptEdges.actorDictionary(ts).collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    val batchNamed = batch.collect()
+      .map(r => (dict(r.getLong(0)), dict(r.getLong(1)), r.getDouble(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val foldedNamed = {
+      val staged = cat.table(spark, "stage")
+      staged.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    }
+    assert(foldedNamed == batchNamed,
+      s"staged=$foldedNamed batch=$batchNamed")
+  }
+
   test("windowed edge-rate aggregation emits per-window counts") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val ts = Fixtures.zipfTranscripts(spark, 20, 4, 5)
