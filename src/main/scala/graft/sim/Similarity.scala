@@ -81,7 +81,7 @@ object Similarity {
     * realistically-scaled embedding.
     */
   def quantize(embD: Column): Column =
-    transform(embD, x => floor(x * 1000000))
+    transform(embD, x => floor(x * 1000000).cast("double"))
 
   /** LSH bucket id from `numPlanes` hyperplane sign bits over the QUANTIZED
     * embedding (`quantize`). `table` seeds an independent hash table —
