@@ -44,6 +44,10 @@ object SparkEntry {
 
     "g_wcc" -> ((s, dir) => Wcc.run(graph(s, dir)).components),
 
+    // strongly connected components (north-rule algorithm; absent from the
+    // reference): label = min member id, trim + fwd/bwd min-label rounds.
+    "g_scc" -> ((s, dir) => Scc.run(graph(s, dir)).components),
+
     "g_lp4" -> ((s, dir) =>
       // pinned iterations -> fused fixed-iteration mode (no per-round
       // changed-count jobs; identical labels, see LabelPropagation)
@@ -284,6 +288,21 @@ object SparkEntry {
          |SELECT id, min(r) AS comp FROM reach GROUP BY id""".stripMargin,
 
     "g_lp4" -> lpSql(4),
+
+    // SCC oracle: directed transitive closure (recursive CTE; fine at the
+    // 150-actor verify scale), mutual pairs, label = min mutual partner.
+    "g_scc" ->
+      s"""WITH RECURSIVE $EDGES_CTE,
+         |$VERTS_CTE,
+         |e AS (SELECT DISTINCT src AS a, dst AS b FROM edges
+         | WHERE src <> dst),
+         |reach(a, b) AS (SELECT a, b FROM e
+         | UNION SELECT reach.a, e.b FROM reach JOIN e ON e.a = reach.b),
+         |mutual AS (SELECT r1.a, r1.b FROM reach r1
+         | JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+         |SELECT v.id, least(v.id, coalesce(min(m.b), v.id))::BIGINT AS scc
+         |FROM verts v LEFT JOIN mutual m ON m.a = v.id
+         |GROUP BY v.id""".stripMargin,
 
     "g_triangle_count" ->
       s"""WITH $EDGES_CTE,

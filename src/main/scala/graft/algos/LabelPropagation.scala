@@ -3,6 +3,7 @@ package graft.algos
 import graft.{ConvergenceStats, LabelPropagationConfig}
 import graft.checkpoint.Checkpointer
 import graft.graph.LinkGraph
+import org.apache.spark.sql.graft.StatsReset
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -75,7 +76,7 @@ object LabelPropagation {
     var iteration = resume.map(_._1.iteration).getOrElse(0)
     var labels: DataFrame = resume.map(_._2)
       .getOrElse(graph.vertices.select($"id", $"id".as("label")))
-      .localCheckpoint()
+      .transform(StatsReset.checkpointNoStats)
 
     var changed = Long.MaxValue
     while (changed > 0 && iteration < config.maxIterations) {
@@ -96,7 +97,7 @@ object LabelPropagation {
             // carried flag: convergence check = filter over materialized
             // state, not a second vertex-vertex join per round.
             (coalesce($"new_label", $"label") =!= $"label").as("chg"))
-          .localCheckpoint()
+          .transform(StatsReset.checkpointNoStats)
         changed = next.filter($"chg").count()
         labels = next.select($"id", $"label")
       } else {
@@ -116,7 +117,7 @@ object LabelPropagation {
         labels =
           if ((iteration + 1) % 5 == 0 ||
               iteration + 1 == config.maxIterations)
-            next.localCheckpoint()
+            next.transform(StatsReset.checkpointNoStats)
           else next
       }
       iteration += 1
@@ -125,7 +126,7 @@ object LabelPropagation {
           && iteration < config.maxIterations
           && iteration % checkpointEvery == 0) {
         labels = Checkpointer.write(checkpointDir.get, "label_propagation",
-          iteration, changed.toDouble, labels, fingerprint).localCheckpoint()
+          iteration, changed.toDouble, labels, fingerprint).transform(StatsReset.checkpointNoStats)
       }
     }
 

@@ -1,0 +1,195 @@
+package graft.algos
+
+import graft.{ConvergenceStats, SccConfig}
+import graft.graph.LinkGraph
+import org.apache.spark.sql.graft.StatsReset
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components.
+  *
+  * The north rule names "weakly/strongly connected components"; the
+  * reference implements only the weak variant (union-find WCC,
+  * /root/reference/crates/algos/src/wcc.rs:101-122), so SCC semantics are
+  * fixed from first principles to mirror the WCC output contract
+  * (dss.rs:183-195): every vertex is labeled with the MINIMUM vertex id of
+  * its strongly connected component — mutual-reachability equivalence
+  * classes, order- and partitioning-independent, hence exactly testable.
+  *
+  * Distributed algorithm (trim + forward/backward min-label, the
+  * "coloring" family used by Pregel-style SCC):
+  *
+  *  1. TRIM: a vertex with no incoming or no outgoing edge inside the
+  *     active subgraph cannot lie on a cycle -> it is a singleton SCC.
+  *     Iterated to a fixed point this peels entire DAG regions (the outer
+  *     loop's worst case) in O(peel-depth) cheap distinct+semi-join rounds.
+  *  2. FORWARD labels: fwd(v) = min id over {u : u reaches v} ∪ {v},
+  *     computed as min-label propagation along edges. Pointer jumping
+  *     (lbl(v) <- min(lbl(v), lbl(lbl(v)))) is valid because reachability
+  *     is transitive — lbl(v) reaches v and lbl(lbl(v)) reaches lbl(v).
+  *     It doubles progress wherever labels form decreasing chains; when
+  *     ids run against edge direction it degrades to one hop per round, so
+  *     the bound is O(diameter) rounds (the standard Pregel-SCC bound —
+  *     shallow on real link graphs). Rounds chain lazily in batches of 4
+  *     per Spark action, so the per-round cost is a quarter of a
+  *     changed-count + localCheckpoint cycle.
+  *  3. BACKWARD labels: the same propagation along reversed edges,
+  *     bwd(v) = min id over {u : v reaches u} ∪ {v}.
+  *  4. CLAIM: fwd(v) = bwd(v) = r  <=>  v and r are mutually reachable and
+  *     r is the minimum id of v's SCC (any w in SCC(v) reaches v, so
+  *     r <= w). The claimed set per root r is therefore EXACTLY SCC(r).
+  *  5. Remove claimed vertices and their edges; repeat. Each outer round
+  *     resolves at least the SCC of every currently-minimal reachability
+  *     root (the minimum active id always roots one), so rounds are bounded
+  *     by the condensation's "min-chain" depth — small for real link
+  *     graphs, whose condensation is shallow once TRIM peels the DAG tail.
+  *
+  * Every step is a Catalyst join/aggregate over the partitioned edge
+  * Dataset; state is vertex-sized and localCheckpoint'ed per round to
+  * truncate lineage (SURVEY.md §7.4-5).
+  */
+object Scc {
+
+  case class Result(components: DataFrame, stats: ConvergenceStats)
+
+  def run(
+      graph: LinkGraph,
+      config: SccConfig = SccConfig(),
+      broadcastVertices: Long = 5000000L): Result = {
+    val spark = graph.edges.sparkSession
+    import spark.implicits._
+
+    val n = graph.nodeCount
+    require(n > 0, "SCC on empty graph")
+    val debug = sys.env.get("GRAFT_SCC_DEBUG").contains("1")
+    val doBroadcast = n <= broadcastVertices
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (doBroadcast) broadcast(df) else df.hint("shuffle_hash")
+
+    // Min-label propagation along `edges` (label flows src -> dst) to the
+    // fixed point lbl(v) = min id over in-reachers of v, with pointer
+    // jumping, `batch` lazily-chained rounds per action (scaladoc step 2).
+    def propagateMin(verts: DataFrame, edges: DataFrame): DataFrame = {
+      val batch = 4
+      var lbl = verts.select($"id", $"id".as("lbl")).transform(StatsReset.checkpointNoStats)
+      var changed = Long.MaxValue
+      var batches = 0
+      while (changed > 0 && batches < config.maxPropagationRounds) {
+        val start = lbl.select($"id", $"lbl".as("prev"))
+        var cur = lbl
+        for (i <- 0 until batch) {
+          val nbrMin = edges
+            .join(maybeBroadcast(cur), edges("src") === cur("id"))
+            .groupBy(edges("dst").as("id"))
+            .agg(min($"lbl").as("nbr_min"))
+          val prop = cur
+            .join(maybeBroadcast(nbrMin), Seq("id"), "left")
+            .select($"id",
+              least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
+          val a = s"a$i" // unique alias per unrolled round (nested scopes)
+          cur = prop.as(a)
+            .join(maybeBroadcast(
+              prop.select($"id".as("jid"), $"lbl".as("jlbl"))),
+              col(s"$a.lbl") === $"jid", "left")
+            .select(col(s"$a.id").as("id"),
+              least(col(s"$a.lbl"), coalesce($"jlbl", col(s"$a.lbl")))
+                .as("lbl"))
+        }
+        val stepped = cur.join(maybeBroadcast(start), Seq("id"))
+          .select($"id", $"lbl", ($"lbl" =!= $"prev").as("chg"))
+          .transform(StatsReset.checkpointNoStats)
+        changed = stepped.filter($"chg").count()
+        lbl = stepped.select($"id", $"lbl")
+        batches += 1
+        if (debug) {
+          val sz = lbl.queryExecution.optimizedPlan.stats.sizeInBytes
+          println(s"[scc] propagate batch=$batches changed=$changed " +
+            s"t=${System.nanoTime() / 1000000000L % 10000} " +
+            s"statsDigits=${sz.toString.length}")
+        }
+      }
+      lbl
+    }
+
+    // Connectivity ignores weights, multiplicity, and self-loops.
+    var activeEdges = graph.edges.select($"src", $"dst")
+      .where($"src" =!= $"dst").distinct()
+      .repartition(graph.numPartitions, $"src")
+      .transform(StatsReset.checkpointNoStats)
+    var active = graph.vertices.select($"id").transform(StatsReset.checkpointNoStats)
+    var remaining = n
+
+    // Restrict the edge set to the surviving vertex set; one eager
+    // localCheckpoint (single action) instead of a repartition+persist
+    // cycle per peel. The src-side semi-join runs LAST so in shuffle-hash
+    // mode the output keeps hash(src) partitioning for the next
+    // propagation's gather (broadcast mode is partitioning-agnostic).
+    def restrict(edges: DataFrame, verts: DataFrame): DataFrame =
+      edges
+        .join(maybeBroadcast(verts.select($"id".as("dst"))),
+          Seq("dst"), "left_semi")
+        .join(maybeBroadcast(verts.select($"id".as("src"))),
+          Seq("src"), "left_semi")
+        .select($"src", $"dst")
+        .transform(StatsReset.checkpointNoStats)
+
+    val resolved = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var iteration = 0
+    while (remaining > 0 && iteration < config.maxIterations) {
+      // ---- TRIM to fixed point
+      var trimming = true
+      while (trimming && remaining > 0) {
+        val both = activeEdges.select($"src".as("id")).distinct()
+          .join(activeEdges.select($"dst".as("id")).distinct(), Seq("id"))
+          .transform(StatsReset.checkpointNoStats)
+        val trimmed = active.join(both, Seq("id"), "left_anti")
+          .transform(StatsReset.checkpointNoStats)
+        val tCount = trimmed.count()
+        if (debug) println(s"[scc] outer=$iteration trim=$tCount " +
+          s"remaining=$remaining")
+        if (tCount == 0) trimming = false
+        else {
+          resolved += trimmed.select($"id", $"id".as("scc"))
+          active = both
+          remaining -= tCount
+          if (remaining > 0) activeEdges = restrict(activeEdges, active)
+        }
+      }
+
+      if (remaining > 0) {
+        // ---- forward/backward labels + claim
+        val fwd = propagateMin(active, activeEdges)
+        val bwd = propagateMin(active,
+          activeEdges.select($"dst".as("src"), $"src".as("dst")))
+        val claimed = fwd
+          .join(bwd.withColumnRenamed("lbl", "blbl"), Seq("id"))
+          .where($"lbl" === $"blbl")
+          .select($"id", $"lbl".as("scc"))
+          .transform(StatsReset.checkpointNoStats)
+        val cCount = claimed.count()
+        if (debug) println(s"[scc] outer=$iteration claimed=$cCount " +
+          s"remaining=${remaining - cCount}")
+        resolved += claimed
+        remaining -= cCount
+        if (remaining > 0) {
+          active = active.join(claimed.select($"id"), Seq("id"), "left_anti")
+            .transform(StatsReset.checkpointNoStats)
+          activeEdges = restrict(activeEdges, active)
+        }
+      }
+      iteration += 1
+    }
+
+    val converged = remaining == 0
+    // Iteration-cap fail-safe (unreachable at default caps): surface the
+    // unresolved vertices as self-labeled so output stays total, and report
+    // converged=false.
+    if (!converged) resolved += active.select($"id", $"id".as("scc"))
+
+    val components = resolved.reduce(_ union _)
+      .repartition(graph.numPartitions, $"id")
+      .transform(StatsReset.checkpointNoStats)
+    Result(components, ConvergenceStats(iteration, remaining.toDouble,
+      converged))
+  }
+}

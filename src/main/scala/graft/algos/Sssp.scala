@@ -2,6 +2,7 @@ package graft.algos
 
 import graft.{ConvergenceStats, SsspConfig}
 import graft.graph.LinkGraph
+import org.apache.spark.sql.graft.StatsReset
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -58,7 +59,7 @@ object Sssp {
     var state = spark.range(1).select(
       lit(config.startNode).as("id"), lit(0.0).as("dist"),
       lit(true).as("pending"))
-      .localCheckpoint()
+      .transform(StatsReset.checkpointNoStats)
     val deltaFinite = !config.delta.isInfinite
     var bucket = 0L
     var iteration = 0
@@ -96,7 +97,7 @@ object Sssp {
               ($"d.dist".isNull || $"c.cand" < $"d.dist")) ||
               (coalesce($"d.pending", lit(false)) &&
                 $"d.dist" >= threshold)).as("pending"))
-          .localCheckpoint()
+          .transform(StatsReset.checkpointNoStats)
         iteration += 1
       }
     }

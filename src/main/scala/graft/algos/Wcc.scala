@@ -3,6 +3,7 @@ package graft.algos
 import graft.{ConvergenceStats, WccConfig}
 import graft.checkpoint.Checkpointer
 import graft.graph.LinkGraph
+import org.apache.spark.sql.graft.StatsReset
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -77,7 +78,7 @@ object Wcc {
     // otherwise DOUBLE the logical plan every round (SURVEY.md §7.4-5).
     var comp: DataFrame = resume.map(_._2)
       .getOrElse(graph.vertices.select($"id", $"id".as("comp")))
-      .localCheckpoint()
+      .transform(StatsReset.checkpointNoStats)
 
     var changed = Long.MaxValue
     while (changed > 0 && iteration < config.maxIterations) {
@@ -102,7 +103,7 @@ object Wcc {
         .select($"a.id".as("id"), $"a.prev".as("prev"),
           least($"a.comp", coalesce($"jcomp", $"a.comp")).as("comp"))
         .select($"id", $"comp", ($"comp" =!= $"prev").as("chg"))
-        .localCheckpoint()
+        .transform(StatsReset.checkpointNoStats)
 
       changed = jumped.filter($"chg").count()
 
@@ -112,7 +113,7 @@ object Wcc {
       if (checkpointDir.isDefined && changed > 0
           && iteration % checkpointEvery == 0) {
         comp = Checkpointer.write(checkpointDir.get, "wcc",
-          iteration, changed.toDouble, comp, fingerprint).localCheckpoint()
+          iteration, changed.toDouble, comp, fingerprint).transform(StatsReset.checkpointNoStats)
       }
     }
 

@@ -46,6 +46,18 @@ case class LabelPropagationConfig(
     maxIterations: Int = 20,
     earlyStop: Boolean = true)
 
+/** SCC is named by the north rule but absent from the reference (which has
+  * only weak connectivity); see graft.algos.Scc for the semantics contract
+  * (label = min member id, mirroring the WCC contract, dss.rs:183-195).
+  * `maxIterations` bounds outer trim+claim rounds (condensation depth);
+  * `maxPropagationRounds` bounds each inner min-label fixed point in
+  * BATCHES of 4 lazily-chained rounds (worst case O(diameter) rounds;
+  * pointer jumping collapses decreasing-id chains).
+  */
+case class SccConfig(
+    maxIterations: Int = 100,
+    maxPropagationRounds: Int = 200)
+
 /** `delta` mirrors the reference's DeltaSteppingConfig{start_node, delta}
   * (crates/algos/src/sssp.rs:21-41). Infinite delta (default) = plain
   * frontier Bellman-Ford (every settled-enough vertex relaxes each round);
