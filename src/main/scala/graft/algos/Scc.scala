@@ -71,7 +71,9 @@ object Scc {
     // jumping, `batch` lazily-chained rounds per action (scaladoc step 2).
     def propagateMin(verts: DataFrame, edges: DataFrame): DataFrame = {
       val batch = 4
-      var lbl = verts.select($"id", $"id".as("lbl")).transform(StatsReset.checkpointNoStats)
+      // trivial lineage (projection over the checkpointed active set) —
+      // no checkpoint needed before the first batch materializes
+      var lbl = verts.select($"id", $"id".as("lbl"))
       var changed = Long.MaxValue
       var batches = 0
       while (changed > 0 && batches < config.maxPropagationRounds) {
@@ -116,7 +118,7 @@ object Scc {
       .where($"src" =!= $"dst").distinct()
       .repartition(graph.numPartitions, $"src")
       .transform(StatsReset.checkpointNoStats)
-    var active = graph.vertices.select($"id").transform(StatsReset.checkpointNoStats)
+    var active = graph.vertices.select($"id")
     var remaining = n
 
     // Restrict the edge set to the surviving vertex set; one eager
@@ -136,31 +138,45 @@ object Scc {
     val resolved = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var iteration = 0
     while (remaining > 0 && iteration < config.maxIterations) {
-      // ---- TRIM to fixed point
+      // ---- TRIM to fixed point (one checkpoint + one count per peel:
+      // flag every active vertex with has-in AND has-out, then read both
+      // the survivors and the trimmed singletons off the materialized df)
       var trimming = true
       while (trimming && remaining > 0) {
-        val both = activeEdges.select($"src".as("id")).distinct()
-          .join(activeEdges.select($"dst".as("id")).distinct(), Seq("id"))
+        val flagged = active
+          .join(activeEdges.select($"src".as("id"), lit(true).as("has_out"))
+            .dropDuplicates("id"), Seq("id"), "left")
+          .join(activeEdges.select($"dst".as("id"), lit(true).as("has_in"))
+            .dropDuplicates("id"), Seq("id"), "left")
+          .select($"id",
+            ($"has_out".isNotNull && $"has_in".isNotNull).as("keep"))
           .transform(StatsReset.checkpointNoStats)
-        val trimmed = active.join(both, Seq("id"), "left_anti")
-          .transform(StatsReset.checkpointNoStats)
-        val tCount = trimmed.count()
+        val tCount = flagged.filter(!$"keep").count()
         if (debug) println(s"[scc] outer=$iteration trim=$tCount " +
           s"remaining=$remaining")
         if (tCount == 0) trimming = false
         else {
-          resolved += trimmed.select($"id", $"id".as("scc"))
-          active = both
+          resolved += flagged.filter(!$"keep")
+            .select($"id", $"id".as("scc"))
+          active = flagged.filter($"keep").select($"id")
           remaining -= tCount
           if (remaining > 0) activeEdges = restrict(activeEdges, active)
         }
       }
 
       if (remaining > 0) {
-        // ---- forward/backward labels + claim
-        val fwd = propagateMin(active, activeEdges)
-        val bwd = propagateMin(active,
-          activeEdges.select($"dst".as("src"), $"src".as("dst")))
+        // ---- forward/backward labels + claim; the two propagations are
+        // independent fixed points over the same edge set, so their jobs
+        // run CONCURRENTLY (Spark schedules parallel actions freely) and
+        // the phase's wall time is max, not sum, of the two.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fwdF = Future(propagateMin(active, activeEdges))
+        val bwdF = Future(propagateMin(active,
+          activeEdges.select($"dst".as("src"), $"src".as("dst"))))
+        val fwd = Await.result(fwdF, Duration.Inf)
+        val bwd = Await.result(bwdF, Duration.Inf)
         val claimed = fwd
           .join(bwd.withColumnRenamed("lbl", "blbl"), Seq("id"))
           .where($"lbl" === $"blbl")
@@ -186,9 +202,9 @@ object Scc {
     // converged=false.
     if (!converged) resolved += active.select($"id", $"id".as("scc"))
 
+    // parts are checkpointed; the union's lineage is already shallow
     val components = resolved.reduce(_ union _)
       .repartition(graph.numPartitions, $"id")
-      .transform(StatsReset.checkpointNoStats)
     Result(components, ConvergenceStats(iteration, remaining.toDouble,
       converged))
   }

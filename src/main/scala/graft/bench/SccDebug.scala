@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc SCC driver for plan/round inspection (GRAFT_SCC_DEBUG=1). */
 object SccDebug {
   def main(args: Array[String]): Unit = {
-    val n = if (args.nonEmpty) args(0).toInt else 40
+    val n =
+      if (args.nonEmpty && !args(0).startsWith("/")) args(0).toInt else 40
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("scc-debug")
@@ -17,9 +18,12 @@ object SccDebug {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val edges = (0 until n)
-      .map(v => (v.toLong, ((v + 1) % n).toLong, 1.0))
-      .toDF("src", "dst", "weight")
+    val edges =
+      if (args.nonEmpty && args(0).startsWith("/"))
+        graft.sources.EventEdges.edges(spark, args(0))
+      else (0 until n)
+        .map(v => (v.toLong, ((v + 1) % n).toLong, 1.0))
+        .toDF("src", "dst", "weight")
     val t0 = System.nanoTime()
     val res = Scc.run(LinkGraph(edges), SccConfig())
     val out = res.components.collect().map(r =>
