@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * JSON to stdout, result table written to --out.
   *
   * Usage:
-  *   GraphRunner <page_rank|wcc|lp|tc|sssp|ingest>
+  *   GraphRunner <page_rank|wcc|scc|lp|tc|sssp|ingest>
   *     --input <path> [--format edges|events|transcripts|edgelist|graph500]
   *     [--out <dir>] [--runs 1] [--warmup-runs 0]
   *     [--max-iterations N] [--tolerance X] [--start-node N]
@@ -121,6 +121,10 @@ object Main {
         val (res, sec) = time(runs, warmups)(() =>
           LabelPropagation.run(g, cfg, checkpointDir = ckptFor()))
         writeOut(res.labels)
+        (s""""iterations":${res.stats.iterations}""", sec)
+      case "scc" =>
+        val (res, sec) = time(runs, warmups)(() => Scc.run(g, SccConfig()))
+        writeOut(res.components)
         (s""""iterations":${res.stats.iterations}""", sec)
       case "tc" =>
         val (n, sec) = time(runs, warmups)(() => TriangleCount.run(g))

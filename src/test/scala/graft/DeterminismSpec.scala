@@ -33,6 +33,14 @@ class DeterminismSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("SCC identical at 2 vs 16 partitions") {
+    val a = Scc.run(graphWith(2)).components.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Scc.run(graphWith(16)).components.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
   test("TC identical at 2 vs 16 partitions") {
     assert(TriangleCount.run(graphWith(2)) ==
       TriangleCount.run(graphWith(16)))
