@@ -90,6 +90,11 @@ object SparkEntry {
     "d_minhash_lsh" -> ((s, dir) =>
       graft.dedup.Dedup.minHashLsh(docs(s, dir), 0.5)),
 
+    // near-dup clusters: WCC closure over the LSH pair graph (similarity
+    // is not transitive; keep-one-per-cluster needs components)
+    "d_dup_groups" -> ((s, dir) =>
+      graft.dedup.Dedup.dupGroups(docs(s, dir), 0.5)),
+
     "d_simhash_pairs" -> ((s, dir) =>
       graft.dedup.Dedup.simHashPairs(docs(s, dir), SIMHASH_MAX_HAMMING)),
 
@@ -180,6 +185,31 @@ object SparkEntry {
        |  sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
        |    AS bucket
        |  FROM dots GROUP BY 1, 2)""".stripMargin
+
+  /** Shared MinHash/LSH CTE chain (the DuckDB statement of
+    * Dedup.minHashSignatures/minHashLsh candidate generation + exact
+    * verification inputs): shingles -> 16 seeded-min signatures -> 4-band
+    * buckets -> candidate pairs -> shingle-set sizes + intersections.
+    */
+  private lazy val MINHASH_CTES =
+    s"""$TOKS_SH_CTES,
+       |mh AS (SELECT doc_id, i, min(${phashSql("i", "s")}) AS mh
+       |  FROM sh, unnest(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs
+       |  FROM mh GROUP BY 1),
+       |banded AS (SELECT doc_id, b AS band,
+       |  ${phashSql("b", "mhs[4*b+1]", "mhs[4*b+2]",
+            "mhs[4*b+3]", "mhs[4*b+4]")} AS bucket
+       |  FROM sig, unnest(generate_series(0, 3)) AS g(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |  ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s GROUP BY 1, 2)"""
+      .stripMargin
 
   private val EDGES_CTE =
     "edges AS (" + EventEdges.edgesSql.replace("\n", " ") + ")"
@@ -394,28 +424,12 @@ object SparkEntry {
          |WHERE jaccard >= 0.5""".stripMargin,
 
     "d_minhash_lsh" ->
-      s"""WITH $TOKS_SH_CTES,
-         |mh AS (SELECT doc_id, i, min(${phashSql("i", "s")}) AS mh
-         |  FROM sh, unnest(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
-         |sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs
-         |  FROM mh GROUP BY 1),
-         |banded AS (SELECT doc_id, b AS band,
-         |  ${phashSql("b", "mhs[4*b+1]", "mhs[4*b+2]",
-              "mhs[4*b+3]", "mhs[4*b+4]")} AS bucket
-         |  FROM sig, unnest(generate_series(0, 3)) AS g(b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM banded x JOIN banded y
-         |  ON x.band = y.band AND x.bucket = y.bucket
-         |    AND x.doc_id < y.doc_id),
+      s"""WITH $MINHASH_CTES,
          |est AS (SELECT c.doc_a, c.doc_b,
          |  len(list_filter(generate_series(1, 16),
          |    i -> sa.mhs[i] = sb.mhs[i])) * 1.0 / 16 AS est_jaccard
          |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
-         |  JOIN sig sb ON sb.doc_id = c.doc_b),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s GROUP BY 1, 2)
+         |  JOIN sig sb ON sb.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, est_jaccard, jaccard FROM (
          |  SELECT e.doc_a, e.doc_b, e.est_jaccard,
          |    round(coalesce(i.i, 0)*1.0 / (sa.n + sb.n - coalesce(i.i, 0)),
@@ -425,6 +439,31 @@ object SparkEntry {
          |  JOIN sizes sa ON sa.doc_id = e.doc_a
          |  JOIN sizes sb ON sb.doc_id = e.doc_b)
          |WHERE jaccard >= 0.5""".stripMargin,
+
+    // pair graph (same CTEs) -> undirected closure via recursive CTE ->
+    // per-component min doc_id + size: the DuckDB statement of
+    // Dedup.dupGroups (LSH pairs + WCC).
+    "d_dup_groups" ->
+      s"""WITH RECURSIVE $MINHASH_CTES,
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    coalesce(i.i, 0)*1.0 / (sa.n + sb.n - coalesce(i.i, 0))
+         |      AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+         | WHERE jaccard >= 0.5),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         | UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (SELECT doc_id, doc_id FROM documents
+         | UNION SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach
+         | GROUP BY id),
+         |gs AS (SELECT group_id, count(*)::BIGINT AS group_size FROM comp
+         | GROUP BY 1)
+         |SELECT c.doc_id, c.group_id, g.group_size
+         |FROM comp c JOIN gs g USING (group_id)""".stripMargin,
 
     "d_simhash_pairs" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -203,6 +203,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate CLUSTERS: weakly connected components over the
+    * MinHash-LSH verified pair graph. Near-dup similarity is not
+    * transitive, so keep-one-per-cluster dedup needs the closure of the
+    * pair relation — the standard corpus-scale formulation (pairs are
+    * sub-quadratic via LSH; the component fixed point is vertex-sized).
+    * Output (doc_id, group_id, group_size): group_id = min doc_id of the
+    * cluster (the same min-member labeling contract as Wcc/Scc); docs with
+    * no near-dup form singleton groups.
+    */
+  def dupGroups(docs: DataFrame, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
+    val pairs = minHashLsh(docs, threshold, numHashes, bands, k)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+        lit(1.0).as("weight"))
+    val nDocs = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    val comp = graft.algos.Wcc
+      .run(graft.graph.LinkGraph(pairs, nodeCount = nDocs)).components
+    // restrict the dense vertex universe to real doc ids BEFORE sizing
+    // groups (doc ids need not be dense)
+    val compDocs = docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+    val sizes = compDocs.groupBy(col("comp"))
+      .agg(count(lit(1)).as("group_size"))
+    compDocs.join(sizes, Seq("comp"))
+      .select(col("doc_id"), col("comp").as("group_id"), col("group_size"))
+  }
+
   /** Partial-aggregatable SimHash: signed per-bit vote accumulation. */
   private class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
     def zero: Array[Int] = new Array[Int](64)

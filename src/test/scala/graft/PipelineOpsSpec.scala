@@ -60,6 +60,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall < 0.8")
   }
 
+  test("dup groups close the non-transitive near-dup relation") {
+    val s = spark
+    import s.implicits._
+    // 12-word docs; 1 differs from 0 in the LAST word (shingle Jaccard
+    // 9/11 = 0.818), 2 differs from 1 in the FIRST word (0.818), but 0 vs
+    // 2 differs in both ends (8/12 = 0.667 < 0.7) — a chain the pairwise
+    // relation alone would split.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda"
+    val chain = Seq(
+      (0L, s"$base mu"),
+      (1L, s"$base nu"),
+      (2L, s"omicron ${base.stripPrefix("alpha ")} nu"),
+      (3L, "unrelated totally separate other words entirely distinct " +
+        "different extra filler tokens here")
+    ).toDF("doc_id", "text")
+    // 8 bands x 2 rows: band-collision prob 1-(1-J^2)^8 = 0.9998 at
+    // J=0.818 (the default 4x4 banding deterministically missed one link
+    // on this tiny fixture)
+    val groups = Dedup.dupGroups(chain, 0.7, numHashes = 16, bands = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(groups(0L) == (0L, 3L), s"got ${groups(0L)}")
+    assert(groups(1L) == (0L, 3L))
+    assert(groups(2L) == (0L, 3L))
+    assert(groups(3L) == (3L, 1L))
+  }
+
   test("simhash: identical texts collide, near-dups land within hamming 16") {
     val sig = Dedup.simHash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
