@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming exact dedup: the continuous counterpart of
+  * graft.dedup.Dedup.exact. Batch dedup groups by fingerprint in one
+  * shuffle; a stream has to remember which fingerprints it has seen across
+  * micro-batches, which is custom keyed state —
+  * KeyValueGroupedDataset.flatMapGroupsWithState over the fingerprint key
+  * (the engine's one genuinely stateful streaming operator, vs the
+  * watermarked join/window aggregations in StreamingIngest).
+  *
+  * Semantics match the batch operator where their domains overlap:
+  * canonical_id = the smallest doc_id seen so far for the fingerprint
+  * (within a micro-batch, the batch minimum — deterministic; across
+  * batches, first-batch-wins then min-within-batch, the streaming reading
+  * of "min doc_id per group" under arrival order). dup_rank counts how
+  * many docs of the fingerprint preceded this one (0 = first copy kept).
+  *
+  * State is one (Long, Long) per DISTINCT fingerprint — the minimal
+  * information any exact-dedup stream must hold; at 100 TB this keys the
+  * state store by a high-cardinality hash with no skew, and state size is
+  * bounded by distinct-document count, not stream length.
+  */
+object StreamingDedup {
+
+  case class DocIn(doc_id: Long, fingerprint: String)
+  case class FpState(canonicalId: Long, seen: Long)
+  case class DocOut(doc_id: Long, canonical_id: Long,
+      is_duplicate: Boolean, dup_rank: Long)
+
+  /** Normalize + fingerprint columns (same normalization as Dedup.exact). */
+  def withFingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+        .as("fingerprint"))
+
+  def dedupStream(docs: DataFrame): Dataset[DocOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withFingerprint(docs).as[DocIn]
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[DocIn], state: GroupState[FpState]) =>
+          // sort the micro-batch's group for deterministic ranks (iterator
+          // order is partition-dependent); group sizes are per-fingerprint
+          // duplicates — tiny
+          val batch = rows.toSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(
+            FpState(batch.head.doc_id, 0L))
+          val out = batch.map { d =>
+            val rank = st.seen
+            st = FpState(math.min(st.canonicalId, d.doc_id), st.seen + 1)
+            DocOut(d.doc_id, st.canonicalId, rank > 0, rank)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -79,6 +79,45 @@ class StreamingSpec extends SparkSpec {
       s"staged=$foldedNamed batch=$batchNamed")
   }
 
+  test("stateful streaming dedup carries fingerprint state across " +
+      "micro-batches") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val s = spark
+    import s.implicits._
+    // two parquet files + maxFilesPerTrigger=1 => two micro-batches; doc 2
+    // (second file) duplicates docs 0/1 (first file) only via state carried
+    // between batches. Assertions are file-order-insensitive.
+    Seq((0L, "the quick fox"), (1L, "THE  quick fox"), (4L, "unique one"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/in")
+    Seq((2L, "the QUICK fox"), (3L, "another unique"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in")
+    val q = graft.streaming.StreamingDedup.dedupStream(stream)
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val byDoc = spark.table("sdedup").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(byDoc.size == 5, s"got $byDoc")
+    val grp = Seq(0L, 1L, 2L).map(byDoc)
+    assert(grp.map(_._3).sorted == Seq(0L, 1L, 2L),
+      s"dup ranks not contiguous across batches: $byDoc")
+    assert(grp.count(!_._2) == 1, s"exactly one kept copy: $byDoc")
+    assert(byDoc(0L)._1 == 0L) // the min doc always reports itself
+    assert(byDoc(4L) == ((4L, false, 0L)))
+    assert(byDoc(3L) == ((3L, false, 0L)))
+  }
+
   test("windowed edge-rate aggregation emits per-window counts") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val ts = Fixtures.zipfTranscripts(spark, 20, 4, 5)
