@@ -10,16 +10,21 @@ object SccDebug {
   def main(args: Array[String]): Unit = {
     val n =
       if (args.nonEmpty && !args(0).startsWith("/")) args(0).toInt else 40
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .appName("scc-debug")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val edges =
-      if (args.nonEmpty && args(0).startsWith("/"))
+      if (args.nonEmpty && args(0).startsWith("/") &&
+          args(0).contains("bench"))
+        spark.read.parquet(args(0)) // raw (src, dst, weight) edge table
+      else if (args.nonEmpty && args(0).startsWith("/"))
         graft.sources.EventEdges.edges(spark, args(0))
       else (0 until n)
         .map(v => (v.toLong, ((v + 1) % n).toLong, 1.0))
