@@ -59,6 +59,11 @@ object SparkEntry {
       s.range(1).select(lit(tc).as("triangles"))
     }),
 
+    // per-vertex (local) triangle counts — same degree-oriented wedge plan
+    // plus a corner explode + groupBy
+    "g_triangles_local" -> ((s, dir) =>
+      TriangleCount.perVertex(graph(s, dir))),
+
     "g_sssp" -> ((s, dir) =>
       Sssp.run(graph(s, dir), SsspConfig(0L)).distances
         .filter(col("dist") =!= lit(Double.PositiveInfinity))
@@ -343,6 +348,19 @@ object SparkEntry {
          |JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
 
     "g_sssp" -> ssspSql(12),
+
+    "g_triangles_local" ->
+      s"""WITH $EDGES_CTE, $VERTS_CTE,
+         |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |      FROM edges WHERE src <> dst),
+         |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |      JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |corners AS (SELECT u AS id FROM t
+         | UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t)
+         |SELECT vts.id, coalesce(c.n, 0)::BIGINT AS triangles
+         |FROM verts vts LEFT JOIN (SELECT id, count(*) AS n FROM corners
+         |  GROUP BY 1) c USING (id)""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
