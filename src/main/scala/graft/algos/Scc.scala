@@ -55,6 +55,8 @@ object Scc {
   def run(
       graph: LinkGraph,
       config: SccConfig = SccConfig(),
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 1,
       broadcastVertices: Long = 5000000L): Result = {
     val spark = graph.edges.sparkSession
     import spark.implicits._
@@ -137,6 +139,26 @@ object Scc {
 
     val resolved = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var iteration = 0
+
+    // Checkpoint state = one total labeling DataFrame: resolved vertices
+    // carry their final scc label, still-active vertices the sentinel -1.
+    // Written once per `checkpointEvery` outer rounds (outer rounds are
+    // few and expensive — the natural durability granularity); resume
+    // splits the latest state back into resolved/active and restricts the
+    // edge set (north rule §4.8; same fingerprint guard as PR/WCC/LP).
+    val fingerprint = checkpointDir.map(_ =>
+      s"scc|n=$n|m=${graph.edgeCount}").getOrElse("")
+    val resume = checkpointDir
+      .flatMap(graft.checkpoint.Checkpointer.latest(spark, _, fingerprint))
+      .filter(_._1.algorithm == "scc")
+    resume.foreach { case (meta, st) =>
+      iteration = meta.iteration
+      resolved += st.filter($"scc" >= 0).select($"id", $"scc")
+      active = st.filter($"scc" === -1).select($"id")
+      remaining = active.count()
+      if (remaining > 0) activeEdges = restrict(activeEdges, active)
+    }
+
     while (remaining > 0 && iteration < config.maxIterations) {
       // ---- TRIM to fixed point (one checkpoint + one count per peel:
       // flag every active vertex with has-in AND has-out, then read both
@@ -194,6 +216,17 @@ object Scc {
         }
       }
       iteration += 1
+
+      if (checkpointDir.isDefined && remaining > 0 && resolved.nonEmpty
+          && iteration % checkpointEvery == 0) {
+        val state = resolved.reduce(_ union _)
+          .union(active.select($"id", lit(-1L).as("scc")))
+        val reread = graft.checkpoint.Checkpointer.write(checkpointDir.get,
+          "scc", iteration, remaining.toDouble, state, fingerprint)
+        resolved.clear()
+        resolved += reread.filter($"scc" >= 0).select($"id", $"scc")
+        active = reread.filter($"scc" === -1).select($"id")
+      }
     }
 
     val converged = remaining == 0

@@ -123,7 +123,8 @@ object Main {
         writeOut(res.labels)
         (s""""iterations":${res.stats.iterations}""", sec)
       case "scc" =>
-        val (res, sec) = time(runs, warmups)(() => Scc.run(g, SccConfig()))
+        val (res, sec) = time(runs, warmups)(() =>
+          Scc.run(g, SccConfig(), checkpointDir = ckptFor()))
         writeOut(res.components)
         (s""""iterations":${res.stats.iterations}""", sec)
       case "tc" =>

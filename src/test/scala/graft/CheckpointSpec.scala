@@ -66,6 +66,34 @@ class CheckpointSpec extends SparkSpec {
     assert(got == full)
   }
 
+  test("SCC resume mid-outer-round equals uninterrupted run exactly") {
+    import graft.algos.Scc
+    val dir = Files.createTempDirectory("graft-ckpt-scc").toString
+    // two 3-cycles chained one-way: round 1 claims {0,1,2}, round 2 claims
+    // {3,4,5} — so an interrupted run has genuine mid-sequence state
+    val cyc = Seq[(Long, Long)](
+      (0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3))
+    val g = LinkGraph(edgesDF(cyc))
+    val full = Scc.run(g).components.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // "crash" after outer round 1 (maxIterations=1) with checkpointing on
+    val partial = Scc.run(g, SccConfig(maxIterations = 1),
+      checkpointDir = Some(dir))
+    assert(!partial.stats.converged)
+    val (meta, _) = Checkpointer.latest(spark, dir).get
+    assert(meta.algorithm == "scc")
+    assert(meta.iteration == 1)
+    assert(meta.totalRows == 6L) // total labeling: resolved + sentinel rows
+
+    // resume with the full budget: picks up round 2 and finishes
+    val resumed = Scc.run(g, SccConfig(), checkpointDir = Some(dir))
+    assert(resumed.stats.converged)
+    val got = resumed.components.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == full)
+  }
+
   test("checkpoint with a different config fingerprint is not resumed") {
     val dir = Files.createTempDirectory("graft-ckpt-fp").toString
     val g = LinkGraph(edgesDF(edges))
