@@ -96,6 +96,22 @@ class PlanSpec extends SparkSpec {
       s"cartesian-class join in d_ngram_jaccard:\n${plan.take(3000)}")
   }
 
+  test("dup groups executes without a cartesian-class join") {
+    // LSH pair generation + WCC closure: every join must stay equi-join
+    // (bucket-local candidates, keyed component propagation)
+    val plan = planOf(SparkEntry.queries("d_dup_groups")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian-class join in d_dup_groups:\n${plan.take(3000)}")
+  }
+
+  test("SCC claim plan broadcasts vertex state, no cartesian join") {
+    val plan = planOf(SparkEntry.queries("g_scc")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian-class join in g_scc:\n${plan.take(3000)}")
+  }
+
   test("relabel map has no single-partition global window") {
     // round-1 verdict #3: row_number over an unpartitioned Window shuffles
     // every vertex into one task. The distributed dense rank must plan with
