@@ -79,6 +79,16 @@ class AlgoVariantsSpec extends SparkSpec {
     }
   }
 
+  test("shuffle-hash-mode SCC == broadcast mode (the 10^12-vertex path)") {
+    import graft.algos.Scc
+    val base = Scc.run(g).components.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val shuffled = Scc.run(g, SccConfig(), broadcastVertices = 0L)
+      .components.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(shuffled == base)
+  }
+
   test("distributed relabel rank == single-window row_number") {
     import org.apache.spark.sql.expressions.Window
     val expected = g.degrees.select(col("id"),
