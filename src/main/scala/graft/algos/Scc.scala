@@ -45,8 +45,13 @@ import org.apache.spark.sql.functions._
   *     graphs, whose condensation is shallow once TRIM peels the DAG tail.
   *
   * Every step is a Catalyst join/aggregate over the partitioned edge
-  * Dataset; state is vertex-sized and localCheckpoint'ed per round to
-  * truncate lineage (SURVEY.md §7.4-5).
+  * Dataset; state is vertex-sized and checkpointed per round through
+  * StatsReset.checkpointNoStats — plain localCheckpoint inherits origin
+  * sizeInBytes stats, which the self-join supersteps compound
+  * geometrically until stats estimation dominates the driver (see
+  * org.apache.spark.sql.graft.StatsReset). Durable checkpoint/resume via
+  * `checkpointDir` writes the total labeling (resolved labels + -1
+  * sentinel for active vertices) once per outer round.
   */
 object Scc {
 
