@@ -38,7 +38,11 @@ object TriangleCount {
   def orientedEdges(graph: LinkGraph): DataFrame = {
     val spark = graph.edges.sparkSession
     import spark.implicits._
-    val simple = graph.canonicalUndirected // (src < dst), dedup, no loops
+    // (src < dst), dedup, no loops — checkpointed once: the degree and
+    // orientation branches below reference it three times, and the
+    // upstream derivation is not cached
+    val simple = org.apache.spark.sql.graft.StatsReset
+      .checkpointNoStats(graph.canonicalUndirected)
     // undirected degree over the simple graph
     val deg = simple.select($"src".as("id"))
       .union(simple.select($"dst".as("id")))

@@ -51,10 +51,14 @@ object Wcc {
     require(n > 0, "WCC on empty graph")
     // Undirected simple view: duplicates are idempotent under min, drop them
     // once up front to shrink the join input; self-loops are no-ops.
-    val und = graph.canonicalUndirected
-      .select($"src", $"dst")
-      .union(graph.canonicalUndirected.select($"dst".as("src"),
-        $"src".as("dst")))
+    // Checkpoint the canonical set BEFORE the union: both union branches
+    // reference it, and an uncached upstream derivation (event-edge
+    // windows, LSH pair generation in Dedup.dupGroups) would otherwise
+    // compute twice during the persist materialization.
+    val canon = graph.canonicalUndirected.select($"src", $"dst")
+      .transform(StatsReset.checkpointNoStats)
+    val und = canon
+      .union(canon.select($"dst".as("src"), $"src".as("dst")))
       .repartition(graph.numPartitions, $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     und.count()

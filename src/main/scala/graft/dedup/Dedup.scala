@@ -214,9 +214,12 @@ object Dedup {
     */
   def dupGroups(docs: DataFrame, threshold: Double,
       numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
-    val pairs = minHashLsh(docs, threshold, numHashes, bands, k)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"),
-        lit(1.0).as("weight"))
+    // materialize the (tiny) pair set once — WCC's undirected build would
+    // otherwise evaluate the whole LSH pipeline per plan reference
+    val pairs = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      minHashLsh(docs, threshold, numHashes, bands, k)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+          lit(1.0).as("weight")))
     val nDocs = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
     val comp = graft.algos.Wcc
       .run(graft.graph.LinkGraph(pairs, nodeCount = nDocs)).components
