@@ -66,7 +66,13 @@ object Scc {
     val spark = graph.edges.sparkSession
     import spark.implicits._
 
-    val n = graph.nodeCount
+    // ONE evaluation of the (possibly expensive, uncached) upstream edge
+    // derivation: node count, vertex universe, and the simple directed
+    // edge set below all derive from this checkpoint instead of re-running
+    // the derivation per consumer.
+    val raw = graph.edges.select($"src", $"dst")
+      .transform(StatsReset.checkpointNoStats)
+    val n = graph.nodeCountFrom(raw)
     require(n > 0, "SCC on empty graph")
     val debug = sys.env.get("GRAFT_SCC_DEBUG").contains("1")
     val doBroadcast = n <= broadcastVertices
@@ -121,11 +127,11 @@ object Scc {
     }
 
     // Connectivity ignores weights, multiplicity, and self-loops.
-    var activeEdges = graph.edges.select($"src", $"dst")
+    var activeEdges = raw
       .where($"src" =!= $"dst").distinct()
       .repartition(graph.numPartitions, $"src")
       .transform(StatsReset.checkpointNoStats)
-    var active = graph.vertices.select($"id")
+    var active = spark.range(n).toDF("id")
     var remaining = n
 
     // Restrict the edge set to the surviving vertex set; one eager

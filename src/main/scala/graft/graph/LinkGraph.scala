@@ -45,6 +45,20 @@ class LinkGraph private (
       if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
     }
 
+  /** Node count computed against a pre-materialized view of `edges` (the
+    * same max-id+1 rule; an explicit override still wins) — lets an
+    * algorithm that has already checkpointed the edge set avoid a SECOND
+    * full evaluation of an expensive uncached upstream derivation just for
+    * the count.
+    */
+  def nodeCountFrom(materializedEdges: DataFrame): Long =
+    if (explicitNodeCount >= 0) explicitNodeCount
+    else {
+      val row = materializedEdges
+        .agg(max(greatest(col("src"), col("dst")))).first()
+      if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+    }
+
   lazy val edgeCount: Long = edges.count()
 
   /** Dense vertex universe 0..nodeCount-1 (reference includes ids never seen
