@@ -42,7 +42,10 @@ object LabelPropagation {
     val spark = graph.edges.sparkSession
     import spark.implicits._
 
-    val n = graph.nodeCount
+    // nodeCount off the persisted multigraph cache (it keeps self-loops,
+    // so max-id is identical): materializes the cache once and spares a
+    // second full evaluation of an uncached upstream derivation
+    val n = graph.nodeCountFrom(graph.multiplicities)
     require(n > 0, "LP on empty graph")
     val doBroadcast = n <= broadcastVertices
     // Undirected multiset view as a compressed multigraph: duplicates count

@@ -158,7 +158,7 @@ object Scc {
     // splits the latest state back into resolved/active and restricts the
     // edge set (north rule §4.8; same fingerprint guard as PR/WCC/LP).
     val fingerprint = checkpointDir.map(_ =>
-      s"scc|n=$n|m=${graph.edgeCount}").getOrElse("")
+      s"scc|n=$n|m=${raw.count()}").getOrElse("")
     val resume = checkpointDir
       .flatMap(graft.checkpoint.Checkpointer.latest(spark, _, fingerprint))
       .filter(_._1.algorithm == "scc")

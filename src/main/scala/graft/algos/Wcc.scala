@@ -47,15 +47,22 @@ object Wcc {
     val spark = graph.edges.sparkSession
     import spark.implicits._
 
-    val n = graph.nodeCount
+    // ONE evaluation of the (possibly expensive, uncached) upstream edge
+    // derivation: node count and the canonical set both read this
+    // checkpoint (raw keeps self-loop-only vertices, so max-id is right).
+    val raw = graph.edges.select($"src", $"dst")
+      .transform(StatsReset.checkpointNoStats)
+    val n = graph.nodeCountFrom(raw)
     require(n > 0, "WCC on empty graph")
     // Undirected simple view: duplicates are idempotent under min, drop them
     // once up front to shrink the join input; self-loops are no-ops.
     // Checkpoint the canonical set BEFORE the union: both union branches
-    // reference it, and an uncached upstream derivation (event-edge
-    // windows, LSH pair generation in Dedup.dupGroups) would otherwise
-    // compute twice during the persist materialization.
-    val canon = graph.canonicalUndirected.select($"src", $"dst")
+    // reference it, so it would otherwise compute twice during the persist
+    // materialization (e.g. the LSH pair pipeline in Dedup.dupGroups).
+    val canon = raw.filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("src"),
+        greatest($"src", $"dst").as("dst"))
+      .distinct()
       .transform(StatsReset.checkpointNoStats)
     val und = canon
       .union(canon.select($"dst".as("src"), $"src".as("dst")))
@@ -73,7 +80,7 @@ object Wcc {
     // state-determining facts only: the comp labeling at iteration k does
     // not depend on maxIterations.
     val fingerprint = checkpointDir.map(_ =>
-      s"wcc|n=$n|m=${graph.edgeCount}").getOrElse("")
+      s"wcc|n=$n|m=${raw.count()}").getOrElse("")
     val resume = checkpointDir
       .flatMap(Checkpointer.latest(spark, _, fingerprint))
       .filter(_._1.algorithm == "wcc")
@@ -81,7 +88,7 @@ object Wcc {
     // Eager localCheckpoint per round: the pointer-jump self-join would
     // otherwise DOUBLE the logical plan every round (SURVEY.md §7.4-5).
     var comp: DataFrame = resume.map(_._2)
-      .getOrElse(graph.vertices.select($"id", $"id".as("comp")))
+      .getOrElse(spark.range(n).select($"id", $"id".as("comp")))
       .transform(StatsReset.checkpointNoStats)
 
     var changed = Long.MaxValue

@@ -38,26 +38,31 @@ class LinkGraph private (
     * matters on inputs with isolated tail vertices: PageRank's n / init /
     * base scores and the dense vertex universe all depend on it.
     */
-  lazy val nodeCount: Long =
-    if (explicitNodeCount >= 0) explicitNodeCount
-    else {
-      val row = edges.agg(max(greatest($"src", $"dst"))).first()
-      if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
-    }
+  @volatile private var cachedNodeCount: Long = explicitNodeCount
+
+  def nodeCount: Long = {
+    if (cachedNodeCount < 0)
+      cachedNodeCount = maxIdPlusOne(edges)
+    cachedNodeCount
+  }
 
   /** Node count computed against a pre-materialized view of `edges` (the
     * same max-id+1 rule; an explicit override still wins) — lets an
     * algorithm that has already checkpointed the edge set avoid a SECOND
     * full evaluation of an expensive uncached upstream derivation just for
-    * the count.
+    * the count. The result is memoized, so later `vertices`/`nodeCount`
+    * reads reuse it.
     */
-  def nodeCountFrom(materializedEdges: DataFrame): Long =
-    if (explicitNodeCount >= 0) explicitNodeCount
-    else {
-      val row = materializedEdges
-        .agg(max(greatest(col("src"), col("dst")))).first()
-      if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
-    }
+  def nodeCountFrom(materializedEdges: DataFrame): Long = {
+    if (cachedNodeCount < 0)
+      cachedNodeCount = maxIdPlusOne(materializedEdges)
+    cachedNodeCount
+  }
+
+  private def maxIdPlusOne(df: DataFrame): Long = {
+    val row = df.agg(max(greatest(col("src"), col("dst")))).first()
+    if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+  }
 
   lazy val edgeCount: Long = edges.count()
 
