@@ -32,6 +32,8 @@ object Sssp {
   def run(
       graph: LinkGraph,
       config: SsspConfig,
+      checkpointDir: Option[String] = None,
+      checkpointEvery: Int = 10,
       broadcastVertices: Long = 5000000L): Result = {
     val spark = graph.edges.sparkSession
     import spark.implicits._
@@ -56,13 +58,32 @@ object Sssp {
     // the band of the smallest pending distance. Infinite delta makes the
     // threshold +inf — the frontier is all pending vertices (plain frontier
     // Bellman-Ford). Both schedules reach the identical min-plus fixed point.
-    var state = spark.range(1).select(
-      lit(config.startNode).as("id"), lit(0.0).as("dist"),
-      lit(true).as("pending"))
+    // Durable checkpoint/resume (north rule §4.8, same shape as
+    // PR/WCC/LP/SCC): the sparse (id, dist, pending) state is the complete
+    // loop state — the delta band re-derives from the minimum pending
+    // distance, so only the state table needs to persist. State at round k
+    // is config-dependent through (start, delta), input-dependent through
+    // the edge set.
+    val fingerprint = checkpointDir.map(_ =>
+      s"sssp|s=${config.startNode}|delta=${config.delta}" +
+        s"|n=$n|m=${graph.edgeCount}").getOrElse("")
+    val resume = checkpointDir
+      .flatMap(graft.checkpoint.Checkpointer.latest(spark, _, fingerprint))
+      .filter(_._1.algorithm == "sssp")
+    var iteration = resume.map(_._1.iteration).getOrElse(0)
+    var state = resume.map(_._2)
+      .getOrElse(spark.range(1).select(
+        lit(config.startNode).as("id"), lit(0.0).as("dist"),
+        lit(true).as("pending")))
       .transform(StatsReset.checkpointNoStats)
     val deltaFinite = !config.delta.isInfinite
-    var bucket = 0L
-    var iteration = 0
+    var bucket =
+      if (deltaFinite && resume.isDefined) {
+        // resume into the band of the smallest pending distance
+        val mp = state.filter($"pending").agg(min($"dist")).first()
+        if (mp.isNullAt(0)) 0L
+        else math.floor(mp.getDouble(0) / config.delta).toLong
+      } else 0L
     var done = false
 
     while (!done && iteration < config.maxIterations) {
@@ -99,6 +120,11 @@ object Sssp {
                 $"d.dist" >= threshold)).as("pending"))
           .transform(StatsReset.checkpointNoStats)
         iteration += 1
+        if (checkpointDir.isDefined && iteration % checkpointEvery == 0) {
+          state = graft.checkpoint.Checkpointer.write(checkpointDir.get,
+            "sssp", iteration, 0.0, state, fingerprint)
+            .transform(StatsReset.checkpointNoStats)
+        }
       }
     }
 

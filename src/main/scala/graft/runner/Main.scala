@@ -135,7 +135,8 @@ object Main {
           arg(args, "start-node").map(_.toLong).getOrElse(0L),
           delta = arg(args, "delta").map(_.toDouble)
             .getOrElse(Double.PositiveInfinity))
-        val (res, sec) = time(runs, warmups)(() => Sssp.run(g, cfg))
+        val (res, sec) = time(runs, warmups)(() =>
+          Sssp.run(g, cfg, checkpointDir = ckptFor()))
         writeOut(res.distances)
         (s""""iterations":${res.stats.iterations}""", sec)
       case other => sys.error(s"unknown algorithm $other")

@@ -94,6 +94,31 @@ class CheckpointSpec extends SparkSpec {
     assert(got == full)
   }
 
+  test("SSSP resume from checkpoint equals uninterrupted run exactly") {
+    import graft.algos.Sssp
+    val dir = Files.createTempDirectory("graft-ckpt-sssp").toString
+    val wedges = edges.zipWithIndex.map { case ((u, v), i) =>
+      (u, v, 1.0 + (i % 5)) }
+    def g() = LinkGraph(
+      edgesDF(wedges.map(e => (e._1, e._2)), wedges.map(_._3)))
+    val full = Sssp.run(g(), SsspConfig(0L)).distances.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+
+    // "crash" after 4 relaxation rounds, checkpointing every 2
+    val partial = Sssp.run(g(), SsspConfig(0L, maxIterations = 4),
+      checkpointDir = Some(dir), checkpointEvery = 2)
+    assert(!partial.stats.converged)
+    val (meta, _) = Checkpointer.latest(spark, dir).get
+    assert(meta.algorithm == "sssp")
+    assert(meta.iteration == 4)
+
+    val resumed = Sssp.run(g(), SsspConfig(0L), checkpointDir = Some(dir))
+    assert(resumed.stats.converged)
+    val got = resumed.distances.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == full)
+  }
+
   test("checkpoint with a different config fingerprint is not resumed") {
     val dir = Files.createTempDirectory("graft-ckpt-fp").toString
     val g = LinkGraph(edgesDF(edges))
