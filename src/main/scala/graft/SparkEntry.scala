@@ -112,7 +112,8 @@ object SparkEntry {
 
     "s_ann_lsh" -> ((s, dir) =>
       graft.sim.Similarity.lshTopK(embs(s, dir), 10L, 5,
-        numPlanes = ANN_PLANES, dims = EMB_DIMS, numTables = ANN_TABLES)),
+        numPlanes = ANN_PLANES, dims = EMB_DIMS, numTables = ANN_TABLES,
+        probeHamming = 2)),
 
     "m_blob_meta" -> ((s, dir) =>
       graft.multimodal.Multimodal.asBlobs(docs(s, dir))
@@ -536,8 +537,12 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
 
     "s_ann_lsh" -> {
-      val probes = "bucket" +: (0 until ANN_PLANES)
-        .map(p => s"xor(bucket, ${1L << p})")
+      // Hamming-0/1/2 probe ring — must mirror Similarity.lshTopK's masks
+      // (probeHamming = 2) exactly
+      val probes = ("bucket" +:
+        (0 until ANN_PLANES).map(p => s"xor(bucket, ${1L << p})")) ++
+        (for (p <- 0 until ANN_PLANES; q <- p + 1 until ANN_PLANES)
+          yield s"xor(bucket, ${(1L << p) | (1L << q)})")
       s"""WITH $EMB_CTE,
          |${planesBucketsSql(ANN_TABLES, ANN_PLANES, EMB_DIMS)},
          |eb AS (SELECT e.vec_id, e.emb, e.norm, b.t, b.bucket

@@ -82,7 +82,12 @@ object Scc {
     // Min-label propagation along `edges` (label flows src -> dst) to the
     // fixed point lbl(v) = min id over in-reachers of v, with pointer
     // jumping, `batch` lazily-chained rounds per action (scaladoc step 2).
-    def propagateMin(verts: DataFrame, edges: DataFrame): DataFrame = {
+    // Returns (labels, reachedFixedPoint): the claim step is only sound at
+    // the fixed point — claiming from capped labels can split an SCC whose
+    // ids run against edge direction across different roots (so callers
+    // must NOT claim when reachedFixedPoint is false).
+    def propagateMin(verts: DataFrame,
+        edges: DataFrame): (DataFrame, Boolean) = {
       val batch = 4
       // trivial lineage (projection over the checkpointed active set) —
       // no checkpoint needed before the first batch materializes
@@ -123,7 +128,7 @@ object Scc {
             s"statsDigits=${sz.toString.length}")
         }
       }
-      lbl
+      (lbl, changed == 0)
     }
 
     // Connectivity ignores weights, multiplicity, and self-loops.
@@ -208,25 +213,37 @@ object Scc {
         val fwdF = Future(propagateMin(active, activeEdges))
         val bwdF = Future(propagateMin(active,
           activeEdges.select($"dst".as("src"), $"src".as("dst"))))
-        val fwd = Await.result(fwdF, Duration.Inf)
-        val bwd = Await.result(bwdF, Duration.Inf)
-        val claimed = fwd
-          .join(bwd.withColumnRenamed("lbl", "blbl"), Seq("id"))
-          .where($"lbl" === $"blbl")
-          .select($"id", $"lbl".as("scc"))
-          .transform(StatsReset.checkpointNoStats)
-        val cCount = claimed.count()
-        if (debug) println(s"[scc] outer=$iteration claimed=$cCount " +
-          s"remaining=${remaining - cCount}")
-        resolved += claimed
-        remaining -= cCount
-        if (remaining > 0) {
-          active = active.join(claimed.select($"id"), Seq("id"), "left_anti")
+        val (fwd, fwdFixed) = Await.result(fwdF, Duration.Inf)
+        val (bwd, bwdFixed) = Await.result(bwdF, Duration.Inf)
+        if (!fwdFixed || !bwdFixed) {
+          // Propagation hit maxPropagationRounds before the fixed point
+          // (e.g. a cycle whose ids run against edge direction needs ~n
+          // one-hop rounds). Claiming now could split an SCC across roots;
+          // re-running next outer round would repeat the identical capped
+          // propagation, so abort instead — the fail-safe below labels the
+          // unresolved actives and reports converged=false honestly.
+          if (debug) println(s"[scc] outer=$iteration propagation CAPPED " +
+            s"(fwd=$fwdFixed bwd=$bwdFixed) — aborting without claims")
+          iteration = config.maxIterations
+        } else {
+          val claimed = fwd
+            .join(bwd.withColumnRenamed("lbl", "blbl"), Seq("id"))
+            .where($"lbl" === $"blbl")
+            .select($"id", $"lbl".as("scc"))
             .transform(StatsReset.checkpointNoStats)
-          activeEdges = restrict(activeEdges, active)
+          val cCount = claimed.count()
+          if (debug) println(s"[scc] outer=$iteration claimed=$cCount " +
+            s"remaining=${remaining - cCount}")
+          resolved += claimed
+          remaining -= cCount
+          if (remaining > 0) {
+            active = active.join(claimed.select($"id"), Seq("id"),
+              "left_anti").transform(StatsReset.checkpointNoStats)
+            activeEdges = restrict(activeEdges, active)
+          }
         }
       }
-      iteration += 1
+      if (iteration < config.maxIterations) iteration += 1
 
       if (checkpointDir.isDefined && remaining > 0 && resolved.nonEmpty
           && iteration % checkpointEvery == 0) {

@@ -41,7 +41,10 @@ object Sssp {
     val n = graph.nodeCount
     require(config.startNode >= 0 && config.startNode < n,
       s"start node ${config.startNode} out of range [0,$n)")
-    val edges = graph.bySrc
+    // min-plus never needs parallel edges: relax the min-weight compressed
+    // view (one build-time groupBy; identical fixed point, round-2 verdict
+    // #3 — duplicate (src,dst) rows relaxed redundantly every round).
+    val edges = graph.minWeightBySrc
 
     val doBroadcast = n <= broadcastVertices
     // broadcast when the vertex state fits; otherwise hint shuffle-hash so
@@ -90,17 +93,22 @@ object Sssp {
       val threshold =
         if (deltaFinite) (bucket + 1) * config.delta
         else Double.PositiveInfinity
-      val frontier = state.filter($"pending" && $"dist" < threshold)
-        .select($"id", $"dist")
-      if (frontier.count() == 0) {
+      // ONE probe action per round over the cached state: the in-band
+      // frontier size AND the minimum pending distance (the band-advance
+      // target) in a single aggregate — round-2 verdict #3 flagged the
+      // separate count() + min() driver round-trips.
+      val probe = state.agg(
+        count(when($"pending" && $"dist" < threshold, 1)).as("in_band"),
+        min(when($"pending", $"dist")).as("min_pending")).first()
+      if (probe.getLong(0) == 0L) {
         // this band is drained; jump to the band of the nearest pending
         // vertex, or stop when nothing is pending anywhere.
-        val minPending =
-          state.filter($"pending").agg(min($"dist")).first()
-        if (minPending.isNullAt(0)) done = true
+        if (probe.isNullAt(1)) done = true
         else bucket =
-          math.floor(minPending.getDouble(0) / config.delta).toLong
+          math.floor(probe.getDouble(1) / config.delta).toLong
       } else {
+        val frontier = state.filter($"pending" && $"dist" < threshold)
+          .select($"id", $"dist")
         val cand = edges
           .join(maybeBroadcast(frontier), edges("src") === frontier("id"))
           .groupBy(edges("dst").as("id"))
@@ -120,7 +128,11 @@ object Sssp {
                 $"d.dist" >= threshold)).as("pending"))
           .transform(StatsReset.checkpointNoStats)
         iteration += 1
-        if (checkpointDir.isDefined && iteration % checkpointEvery == 0) {
+        // skip the write when the loop is about to terminate on the
+        // iteration cap — same guard as PageRank/WCC/LP (a redundant final
+        // checkpoint buys nothing; resume re-derives the band from state)
+        if (checkpointDir.isDefined && iteration % checkpointEvery == 0
+            && iteration < config.maxIterations) {
           state = graft.checkpoint.Checkpointer.write(checkpointDir.get,
             "sssp", iteration, 0.0, state, fingerprint)
             .transform(StatsReset.checkpointNoStats)

@@ -38,12 +38,22 @@ object Wcc {
 
   case class Result(components: DataFrame, stats: ConvergenceStats)
 
+  /** @param sparseVertices when true, the component state is initialized
+    *   from the EDGE ENDPOINTS only instead of the dense 0..n-1 universe —
+    *   vertices with no incident edge are simply absent from the output
+    *   (the caller unions them back as singletons if it needs them). This is
+    *   the right shape when the edge set is far smaller than the id space:
+    *   e.g. near-dup closure over an LSH pair graph iterates a pair-sized
+    *   fixed point instead of billions of untouched singleton rows
+    *   (round-2 verdict #2).
+    */
   def run(
       graph: LinkGraph,
       config: WccConfig = WccConfig(),
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 10,
-      broadcastVertices: Long = 5000000L): Result = {
+      broadcastVertices: Long = 5000000L,
+      sparseVertices: Boolean = false): Result = {
     val spark = graph.edges.sparkSession
     import spark.implicits._
 
@@ -52,8 +62,11 @@ object Wcc {
     // checkpoint (raw keeps self-loop-only vertices, so max-id is right).
     val raw = graph.edges.select($"src", $"dst")
       .transform(StatsReset.checkpointNoStats)
-    val n = graph.nodeCountFrom(raw)
-    require(n > 0, "WCC on empty graph")
+    // sparse mode never materializes the dense universe, so the (possibly
+    // astronomically large) max-id+1 is only computed for the fingerprint
+    // and the broadcast decision when a checkpoint dir is in play.
+    val n = if (sparseVertices) -1L else graph.nodeCountFrom(raw)
+    require(sparseVertices || n > 0, "WCC on empty graph")
     // Undirected simple view: duplicates are idempotent under min, drop them
     // once up front to shrink the join input; self-loops are no-ops.
     // Checkpoint the canonical set BEFORE the union: both union branches
@@ -68,9 +81,13 @@ object Wcc {
       .union(canon.select($"dst".as("src"), $"src".as("dst")))
       .repartition(graph.numPartitions, $"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
+    val undCount = und.count()
 
-    val doBroadcast = n <= broadcastVertices
+    // sparse mode has no n; its state size is bounded by the endpoint count
+    // (<= undirected edge count), so gate the broadcast on that instead.
+    val doBroadcast =
+      if (sparseVertices) undCount <= broadcastVertices
+      else n <= broadcastVertices
     // broadcast when the vertex state fits; otherwise hint shuffle-hash so
     // the planner builds the (small) state side and NEVER sort-merges the
     // cached edge side (an SMJ would re-sort the big table every round)
@@ -80,7 +97,7 @@ object Wcc {
     // state-determining facts only: the comp labeling at iteration k does
     // not depend on maxIterations.
     val fingerprint = checkpointDir.map(_ =>
-      s"wcc|n=$n|m=${raw.count()}").getOrElse("")
+      s"wcc|n=$n|m=${raw.count()}|sparse=$sparseVertices").getOrElse("")
     val resume = checkpointDir
       .flatMap(Checkpointer.latest(spark, _, fingerprint))
       .filter(_._1.algorithm == "wcc")
@@ -88,7 +105,15 @@ object Wcc {
     // Eager localCheckpoint per round: the pointer-jump self-join would
     // otherwise DOUBLE the logical plan every round (SURVEY.md §7.4-5).
     var comp: DataFrame = resume.map(_._2)
-      .getOrElse(spark.range(n).select($"id", $"id".as("comp")))
+      .getOrElse {
+        if (sparseVertices)
+          // edge endpoints only — a pair-sized state, never the id space
+          canon.select($"src".as("id"))
+            .union(canon.select($"dst".as("id")))
+            .distinct()
+            .select($"id", $"id".as("comp"))
+        else spark.range(n).select($"id", $"id".as("comp"))
+      }
       .transform(StatsReset.checkpointNoStats)
 
     var changed = Long.MaxValue
@@ -120,6 +145,45 @@ object Wcc {
 
       comp = jumped.select($"id", $"comp")
       iteration += 1
+
+      if (config.contractAfter > 0 && changed > 0
+          && iteration >= config.contractAfter
+          && iteration < config.maxIterations) {
+        // Afforest-analogue work skipping by CONTRACTION (see WccConfig):
+        // rebuild the graph over label-classes and recurse on it. changed>0
+        // guarantees comp is non-injective (an injective pointwise-
+        // non-increasing self-map of a finite id set is the identity), so
+        // the contracted vertex set strictly shrinks — termination. A
+        // label-class edge (comp(u), comp(v)) exists iff some edge joins
+        // the classes, so contracted components = original components over
+        // classes; every vertex is connected to its label (propagation
+        // follows real paths), so composing labelings preserves both
+        // components and the min-id contract (the component min M always
+        // has comp(M)=M and so survives contraction as a class vertex).
+        val contracted = canon
+          .join(maybeBroadcast(
+            comp.select($"id".as("src"), $"comp".as("csrc"))), Seq("src"))
+          .join(maybeBroadcast(
+            comp.select($"id".as("dst"), $"comp".as("cdst"))), Seq("dst"))
+          .where($"csrc" =!= $"cdst")
+          .select($"csrc".as("src"), $"cdst".as("dst"),
+            lit(1.0).as("weight"))
+        val sub = run(
+          LinkGraph(contracted, numPartitions = graph.numPartitions),
+          config, checkpointDir = None,
+          broadcastVertices = broadcastVertices,
+          // class labels are sparse in the id space — never densify
+          sparseVertices = true)
+        val composed = comp
+          .join(maybeBroadcast(sub.components
+            .select($"id".as("comp"), $"comp".as("fin"))), Seq("comp"),
+            "left")
+          .select($"id", coalesce($"fin", $"comp").as("comp"))
+          .transform(StatsReset.checkpointNoStats)
+        und.unpersist()
+        return Result(composed, ConvergenceStats(
+          iteration + sub.stats.iterations, 0.0, sub.stats.converged))
+      }
 
       if (checkpointDir.isDefined && changed > 0
           && iteration % checkpointEvery == 0) {

@@ -220,13 +220,17 @@ object Dedup {
       minHashLsh(docs, threshold, numHashes, bands, k)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"),
           lit(1.0).as("weight")))
-    val nDocs = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    // sparseVertices: the closure fixed point iterates ONLY docs incident
+    // to an LSH pair (near-dup pairs are sparse at any scale); the ~entire
+    // corpus of singletons never enters a superstep and is unioned back as
+    // group_id = doc_id below via the left-join coalesce (round-2 verdict
+    // #2: the dense form iterated billions of untouched rows at 10^9 docs).
     val comp = graft.algos.Wcc
-      .run(graft.graph.LinkGraph(pairs, nodeCount = nDocs)).components
-    // restrict the dense vertex universe to real doc ids BEFORE sizing
-    // groups (doc ids need not be dense)
+      .run(graft.graph.LinkGraph(pairs), sparseVertices = true).components
     val compDocs = docs.select(col("doc_id"))
-      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
     val sizes = compDocs.groupBy(col("comp"))
       .agg(count(lit(1)).as("group_size"))
     compDocs.join(sizes, Seq("comp"))

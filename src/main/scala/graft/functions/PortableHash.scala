@@ -45,7 +45,7 @@ object PortableHash {
   */
 object PortableHashJvm {
   def phash(parts: Any*): Long = {
-    val key = parts.map(_.toString).mkString("")
+    val key = parts.map(_.toString).mkString("\u0001")
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(key.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString

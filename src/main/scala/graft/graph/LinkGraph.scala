@@ -52,6 +52,12 @@ class LinkGraph private (
     * full evaluation of an expensive uncached upstream derivation just for
     * the count. The result is memoized, so later `vertices`/`nodeCount`
     * reads reuse it.
+    *
+    * CONTRACT (round-2 advice): the view MUST preserve the maximum node id
+    * of `edges` — a filtered/self-loop-free/deduplicated frame that could
+    * drop the max-id row would silently poison nodeCount and `vertices`
+    * for every later consumer. Pass only projections/repartitions/
+    * checkpoints of the full edge set.
     */
   def nodeCountFrom(materializedEdges: DataFrame): Long = {
     if (cachedNodeCount < 0)
@@ -113,6 +119,20 @@ class LinkGraph private (
   lazy val multiplicitiesBySrc: DataFrame =
     edges.groupBy($"src", $"dst")
       .agg(count(lit(1)).cast("double").as("cnt"))
+      .repartition(numPartitions, $"src")
+      .sortWithinPartitions($"src", $"dst")
+      .persist()
+
+  /** Min-weight compressed multigraph hash-partitioned by src: the SSSP
+    * relaxation cache. Min-plus only ever needs min(weight) per distinct
+    * (src, dst) — relaxing duplicate parallel edges is pure redundant work
+    * every round (round-2 verdict #3; same compression argument as
+    * `multiplicitiesBySrc` for PageRank/LP, 8x smaller on the Zipf bench
+    * graph). Identical fixed point.
+    */
+  lazy val minWeightBySrc: DataFrame =
+    edges.groupBy($"src", $"dst")
+      .agg(min($"weight").as("weight"))
       .repartition(numPartitions, $"src")
       .sortWithinPartitions($"src", $"dst")
       .persist()

@@ -27,6 +27,15 @@ trait TableIO {
     */
   def append(name: String, df: DataFrame): Unit
 
+  /** Idempotent [[append]]: the tag names the increment (e.g. a streaming
+    * micro-batch id), and an increment whose tag is already in the current
+    * manifest is silently skipped. foreachBatch is at-least-once — after a
+    * failure/restart the sink replays the last micro-batch, and a plain
+    * append would commit it twice (round-2 advice on
+    * StreamingIngest.sinkToCatalog).
+    */
+  def appendTagged(name: String, df: DataFrame, tag: String): Unit
+
   /** Rewrite the current snapshot's (possibly many) data dirs into one —
     * Iceberg's compaction/rewrite action. A no-op on single-dir snapshots.
     */
@@ -74,6 +83,26 @@ class ParquetTableIO(root: String) extends TableIO {
     val newRows = df.sparkSession.read.parquet(dataDir.toString).count()
     commit(name, snap, currentRows(name) + newRows,
       currentDirs(name) :+ s"snap-$snap")
+  }
+
+  override def appendTagged(
+      name: String, df: DataFrame, tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"bad tag: $tag")
+    // tag lives in the data-dir name, so the dedup check is just a
+    // manifest scan — no sidecar schema change, readers are unaffected
+    if (!exists(name)) {
+      val dataDir = dir(name).resolve(s"snap-0-$tag")
+      df.write.mode("overwrite").parquet(dataDir.toString)
+      val rows = df.sparkSession.read.parquet(dataDir.toString).count()
+      commit(name, 0L, rows, Seq(s"snap-0-$tag"))
+    } else if (!currentDirs(name).exists(_.endsWith(s"-$tag"))) {
+      val snap = currentSnapshot(name) + 1
+      val dataDir = dir(name).resolve(s"snap-$snap-$tag")
+      df.write.mode("overwrite").parquet(dataDir.toString)
+      val newRows = df.sparkSession.read.parquet(dataDir.toString).count()
+      commit(name, snap, currentRows(name) + newRows,
+        currentDirs(name) :+ s"snap-$snap-$tag")
+    } // else: tag already committed — replayed micro-batch, skip
   }
 
   override def compact(spark: SparkSession, name: String): Unit = {
@@ -149,6 +178,12 @@ class GraphCatalog(io: TableIO) {
     */
   def appendEdges(name: String, edges: DataFrame): Unit =
     io.append(name, edges)
+
+  /** Idempotent append keyed by an increment tag (streaming micro-batch
+    * replay safety — see TableIO.appendTagged).
+    */
+  def appendEdgesTagged(name: String, edges: DataFrame, tag: String): Unit =
+    io.appendTagged(name, edges, tag)
 
   def compact(spark: SparkSession, name: String): Unit =
     io.compact(spark, name)

@@ -29,8 +29,19 @@ case class PageRankConfig(
 /** Reference WccConfig (crates/algos/src/wcc.rs:43-79) carries shared-memory
   * tuning (chunk_size, neighbor_rounds, sampling) that has no distributed
   * meaning; ours carries the fixed-point loop bounds instead.
+  *
+  * `contractAfter` (> 0 enables) is the distributed analogue of Afforest's
+  * work-skipping (wcc.rs:158-301: most vertices settle into the giant
+  * component within a couple of neighbor rounds, after which touching their
+  * edges is wasted work): after that many hash-min+jump rounds the graph is
+  * CONTRACTED to its label-classes — edges become (comp(u), comp(v)) for
+  * differing labels — and the fixed point recurses on the (far smaller)
+  * contracted graph, composing labelings at the end. Identical output
+  * (label-class contraction preserves components and the min-id contract;
+  * see Wcc scaladoc — a plain same-label edge DROP is unsound because a
+  * settled edge can be another vertex's only path to its label).
   */
-case class WccConfig(maxIterations: Int = 200)
+case class WccConfig(maxIterations: Int = 200, contractAfter: Int = 0)
 
 /** Label propagation is absent from the reference (SURVEY.md §2.9); semantics
   * are synchronous LPA (Raghavan et al.) with deterministic smallest-label

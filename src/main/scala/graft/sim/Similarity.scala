@@ -114,15 +114,29 @@ object Similarity {
     */
   def lshTopK(
       embeddings: DataFrame, queryMaxId: Long, k: Int,
-      numPlanes: Int = 4, dims: Int = -1, numTables: Int = 2): DataFrame = {
+      numPlanes: Int = 4, dims: Int = -1, numTables: Int = 2,
+      probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2,
+      s"probeHamming must be 0..2, got $probeHamming")
     val d = if (dims > 0) dims else embedDims(embeddings)
     val e0 = withNorm(embeddings).withColumn("q", quantize(col("emb_d")))
     val e = e0.select(col("vec_id"), col("emb_d"), col("norm"),
       posexplode(array((0 until numTables).map(t =>
         lshBucket(col("q"), d, numPlanes, t)): _*)).as(Seq("t", "bucket")))
-    val probes = (0 until numPlanes).foldLeft(array(col("bucket"))) {
-      (acc, p) => array_append(acc, col("bucket").bitwiseXOR(lit(1L << p)))
-    }
+    // probe masks for the Hamming ring around the query's own bucket: the
+    // ring is QUERY-side only (the corpus stays hashed once per table), so
+    // widening it buys recall linearly in probe count without touching the
+    // big side (round-2 verdict #8: Hamming-2 lifts measured top-5 recall
+    // 0.72 -> see PipelineOpsSpec floor).
+    val masks = Seq(0L) ++
+      (if (probeHamming >= 1) (0 until numPlanes).map(p => 1L << p)
+       else Seq.empty) ++
+      (if (probeHamming >= 2)
+        (for (p <- 0 until numPlanes; q <- p + 1 until numPlanes)
+          yield (1L << p) | (1L << q))
+       else Seq.empty)
+    val probes = array(masks.map(m =>
+      col("bucket").bitwiseXOR(lit(m))): _*)
     val queries = e.filter(col("vec_id") < queryMaxId)
       .select(col("vec_id").as("query_id"), col("t"),
         col("emb_d").as("q_emb"), col("norm").as("q_norm"),

@@ -28,8 +28,12 @@ object StreamingDedup {
 
   case class DocIn(doc_id: Long, fingerprint: String)
   case class FpState(canonicalId: Long, seen: Long)
+  // fingerprint rides along (last, so positional readers of the first four
+  // columns are unaffected): it is what makes the staged output
+  // RECONCILABLE — recanonicalize below can regroup rows without access to
+  // the original text.
   case class DocOut(doc_id: Long, canonical_id: Long,
-      is_duplicate: Boolean, dup_rank: Long)
+      is_duplicate: Boolean, dup_rank: Long, fingerprint: String)
 
   /** Normalize + fingerprint columns (same normalization as Dedup.exact). */
   def withFingerprint(docs: DataFrame): DataFrame =
@@ -44,7 +48,7 @@ object StreamingDedup {
       .groupByKey(_.fingerprint)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[DocIn], state: GroupState[FpState]) =>
+        (fp: String, rows: Iterator[DocIn], state: GroupState[FpState]) =>
           // sort the micro-batch's group for deterministic ranks (iterator
           // order is partition-dependent); group sizes are per-fingerprint
           // duplicates — tiny
@@ -54,10 +58,34 @@ object StreamingDedup {
           val out = batch.map { d =>
             val rank = st.seen
             st = FpState(math.min(st.canonicalId, d.doc_id), st.seen + 1)
-            DocOut(d.doc_id, st.canonicalId, rank > 0, rank)
+            DocOut(d.doc_id, st.canonicalId, rank > 0, rank, fp)
           }
           state.update(st)
           out.iterator
       }
+  }
+
+  /** Periodic batch re-canonicalization over the staged stream output: the
+    * stream's canonical ids are first-batch-wins (an already-emitted row is
+    * never retracted), so a later micro-batch carrying a SMALLER doc_id
+    * leaves earlier rows pointing at a non-minimal canonical — a documented
+    * divergence from batch Dedup.exact's global-min contract. This job
+    * closes it: one shuffle on the (high-cardinality, skew-free)
+    * fingerprint rewrites every row to the global min per fingerprint, so
+    * stream + reconciliation == batch regardless of arrival order.
+    * dup_rank is preserved as the arrival-order fact it is.
+    */
+  def recanonicalize(staged: DataFrame): DataFrame = {
+    // window-min instead of aggregate+self-join: ONE shuffle on the
+    // high-cardinality fingerprint (partitions are group-sized — tiny), and
+    // no self-referencing plan (a staged view self-joined against its own
+    // aggregate trips Catalyst's conflicting-reference resolution).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint"))
+    staged
+      .withColumn("true_canonical", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("true_canonical").as("canonical_id"),
+        (col("doc_id") =!= col("true_canonical")).as("is_duplicate"),
+        col("dup_rank"), col("fingerprint"))
   }
 }

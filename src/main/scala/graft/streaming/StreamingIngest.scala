@@ -79,8 +79,10 @@ object StreamingIngest {
     * is APPENDED to a named catalog staging table as a new manifest
     * snapshot (io.TableIO.append) — the streaming end of the reference's
     * incremental add_edge mutation path (adj_list.rs:371-404). Restart-safe
-    * via the streaming checkpoint; snapshot manifests make each batch an
-    * atomic append.
+    * END TO END: the streaming checkpoint replays the last micro-batch
+    * after a failure (foreachBatch is at-least-once), so the append is
+    * keyed by batchId — a replayed batch whose tag already sits in the
+    * table manifest is skipped, never double-committed.
     */
   def sinkToCatalog(
       edges: DataFrame, catalog: graft.io.GraphCatalog,
@@ -89,8 +91,9 @@ object StreamingIngest {
     edges.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) catalog.appendEdges(stagingTable, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          catalog.appendEdgesTagged(stagingTable, batch, s"b$batchId")
       }
       .start()
 

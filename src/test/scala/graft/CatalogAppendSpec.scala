@@ -36,6 +36,31 @@ class CatalogAppendSpec extends SparkSpec {
     assert(dataDirs >= 3) // history retained (snapshots are immutable)
   }
 
+  test("tagged appends are idempotent under micro-batch replay") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-cat").toString
+    val cat = new GraphCatalog(new ParquetTableIO(root))
+
+    // first-ever increment creates the table
+    cat.appendEdgesTagged("g",
+      Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"), "b0")
+    assert(cat.graph(spark, "g").edgeCount == 1)
+    // replay of b0 (foreachBatch at-least-once) must be a no-op
+    cat.appendEdgesTagged("g",
+      Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"), "b0")
+    assert(cat.graph(spark, "g").edgeCount == 1)
+    // a new tag commits; replaying it again does not
+    cat.appendEdgesTagged("g",
+      Seq((1L, 2L, 1.0)).toDF("src", "dst", "weight"), "b1")
+    cat.appendEdgesTagged("g",
+      Seq((1L, 2L, 1.0)).toDF("src", "dst", "weight"), "b1")
+    assert(cat.graph(spark, "g").edgeCount == 2)
+    // untagged appends still stack freely alongside
+    cat.appendEdges("g", Seq((3L, 4L, 1.0)).toDF("src", "dst", "weight"))
+    assert(cat.graph(spark, "g").edgeCount == 3)
+  }
+
   test("computed properties are catalog citizens (write/read/list)") {
     val s = spark
     import s.implicits._

@@ -65,6 +65,53 @@ class RandomOracleSpec extends SparkSpec {
     assert(got == bfsComponents(nodes, edges))
   }
 
+  test("WCC with label-class contraction matches BFS oracle exactly") {
+    // Afforest-analogue contraction (WccConfig.contractAfter) must leave
+    // the labeling bit-identical at every contraction point.
+    val g = LinkGraph(edgesDF(edges))
+    val want = bfsComponents(nodes, edges)
+    Seq(1, 2, 3).foreach { k =>
+      val res = Wcc.run(g, WccConfig(contractAfter = k))
+      assert(res.stats.converged, s"contractAfter=$k not converged")
+      val got = res.components.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"contractAfter=$k")
+    }
+  }
+
+  test("WCC contraction survives the naive-prune counterexample") {
+    // Path 5-6-9-0 after one hash-min round labels {5:5, 6:5, 9:0, 0:0}: a
+    // same-label edge DROP would remove both (5,6) and (9,0),
+    // disconnecting 5 from its component forever. Contraction keeps the
+    // label-class edge (5,0) and must still converge to all-0 labels.
+    // Plus a long cycle whose ids run against the propagation direction
+    // (one hop per round) to force multi-level recursion.
+    val path = Seq((5L, 6L), (6L, 9L), (9L, 0L))
+    val cycle = (1L until 40L).map(i => (100L + i, 100L + i - 1)) :+
+      (100L, 139L)
+    val es = path ++ cycle
+    val n = 140
+    val want = bfsComponents(n, es)
+    Seq(1, 2).foreach { k =>
+      val got = Wcc.run(LinkGraph(edgesDF(es)),
+        WccConfig(contractAfter = k)).components.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"contractAfter=$k")
+    }
+  }
+
+  test("sparse-vertex WCC labels edge-incident vertices identically") {
+    val g = LinkGraph(edgesDF(edges))
+    val dense = Wcc.run(g).components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sparse = Wcc.run(g, sparseVertices = true).components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incident = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e._1, e._2)).toSet
+    assert(sparse.keySet == incident)
+    incident.foreach(v => assert(sparse(v) == dense(v), s"vertex $v"))
+  }
+
   test("triangle count matches brute-force oracle exactly") {
     val g = LinkGraph(edgesDF(edges))
     assert(TriangleCount.run(g) == bruteTriangles(nodes, edges))

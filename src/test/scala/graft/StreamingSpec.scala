@@ -118,6 +118,46 @@ class StreamingSpec extends SparkSpec {
     assert(byDoc(3L) == ((3L, false, 0L)))
   }
 
+  test("recanonicalization reconciles out-of-order arrival to batch " +
+      "canonicals") {
+    val dir = Files.createTempDirectory("graft-recanon").toString
+    val s = spark
+    import s.implicits._
+    // The SMALLEST doc id arrives in the SECOND micro-batch: the stream's
+    // first-batch-wins contract leaves docs 10/11 pointing at canonical 10
+    // (already emitted, never retracted) while batch Dedup.exact reports 2.
+    // The periodic recanonicalize job must close exactly that gap.
+    val docs = Seq((10L, "the quick fox"), (11L, "THE  quick fox"),
+      (2L, "the QUICK fox"), (7L, "something else"))
+    docs.filter(_._1 >= 7).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/in")
+    Thread.sleep(1100) // file-source orders micro-batches by mtime
+    docs.filter(_._1 == 2).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in")
+    val q = graft.streaming.StreamingDedup.dedupStream(stream)
+      .writeStream.format("memory").queryName("sdedup_recanon")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val staged = spark.table("sdedup_recanon")
+    val fixed = graft.streaming.StreamingDedup.recanonicalize(staged)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val batch = graft.dedup.Dedup.exact(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed.keySet == batch.keySet)
+    batch.foreach { case (d, c) =>
+      assert(fixed(d) == ((c, d != c)), s"doc $d: ${fixed(d)} vs $c")
+    }
+  }
+
   test("windowed edge-rate aggregation emits per-window counts") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val ts = Fixtures.zipfTranscripts(spark, 20, 4, 5)
