@@ -117,8 +117,15 @@ object LabelPropagation {
         val next = graph.vertices
           .join(maybeBroadcast(mode), Seq("id"), "left")
           .select($"id", coalesce($"new_label", $"id").as("label"))
+        // chaining is linear only in shuffle mode (one fused job, exchange
+        // reuse); in broadcast mode nested broadcast builds re-execute
+        // their subtree with no cross-build reuse — measured ~2^k per
+        // action on the same round shape (Wcc.scala batch policy /
+        // BASELINE.md). The broadcast-mode round is still "fused" in the
+        // round-1 #6 sense: no changed-count job, just the one
+        // materialization.
         labels =
-          if ((iteration + 1) % 5 == 0 ||
+          if (doBroadcast || (iteration + 1) % 5 == 0 ||
               iteration + 1 == config.maxIterations)
             next.transform(StatsReset.checkpointNoStats)
           else next

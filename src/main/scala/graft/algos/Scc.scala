@@ -74,6 +74,8 @@ object Scc {
       .transform(StatsReset.checkpointNoStats)
     val n = graph.nodeCountFrom(raw)
     require(n > 0, "SCC on empty graph")
+    // one count over the checkpointed RDD (cheap); drives the batch policy
+    val rawEdgeCount = raw.count()
     val debug = sys.env.get("GRAFT_SCC_DEBUG").contains("1")
     val doBroadcast = n <= broadcastVertices
     def maybeBroadcast(df: DataFrame): DataFrame =
@@ -88,7 +90,13 @@ object Scc {
     // must NOT claim when reachedFixedPoint is false).
     def propagateMin(verts: DataFrame,
         edges: DataFrame): (DataFrame, Boolean) = {
-      val batch = 4
+      // Lazy chaining pays in shuffle mode (one fused job, exchanges
+      // reused) and on small edge sets; in broadcast mode over a LARGE
+      // edge set each nested broadcast build re-executes its subtree with
+      // no cross-build reuse — measured ~2^batch per action on WCC's
+      // identical round shape (Wcc.scala batch policy). rawEdgeCount
+      // bounds every restricted view.
+      val batch = if (!doBroadcast || rawEdgeCount <= 4000000L) 4 else 1
       // trivial lineage (projection over the checkpointed active set) —
       // no checkpoint needed before the first batch materializes
       var lbl = verts.select($"id", $"id".as("lbl"))
@@ -163,7 +171,7 @@ object Scc {
     // splits the latest state back into resolved/active and restricts the
     // edge set (north rule §4.8; same fingerprint guard as PR/WCC/LP).
     val fingerprint = checkpointDir.map(_ =>
-      s"scc|n=$n|m=${raw.count()}").getOrElse("")
+      s"scc|n=$n|m=$rawEdgeCount").getOrElse("")
     val resume = checkpointDir
       .flatMap(graft.checkpoint.Checkpointer.latest(spark, _, fingerprint))
       .filter(_._1.algorithm == "scc")

@@ -56,7 +56,8 @@ object Main {
     val builder = SparkSession.builder()
       .appName(s"graft-$algo")
       .config("spark.sql.shuffle.partitions", parts.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "1") != "0")
       .config("spark.sql.session.timeZone", "UTC")
     // spark-submit injects the master; default to local when launched bare
     if (!sys.props.contains("spark.master"))
@@ -111,8 +112,12 @@ object Main {
           else res.stats.error.toString
         (s""""iterations":${res.stats.iterations},"error":$err""", sec)
       case "wcc" =>
+        val cfg = WccConfig(
+          arg(args, "max-iterations").map(_.toInt).getOrElse(200),
+          contractAfter =
+            arg(args, "contract-after").map(_.toInt).getOrElse(0))
         val (res, sec) = time(runs, warmups)(() =>
-          Wcc.run(g, WccConfig(), checkpointDir = ckptFor()))
+          Wcc.run(g, cfg, checkpointDir = ckptFor()))
         writeOut(res.components)
         (s""""iterations":${res.stats.iterations}""", sec)
       case "lp" =>
