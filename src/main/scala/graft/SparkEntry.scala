@@ -197,10 +197,23 @@ object SparkEntry {
     * verification inputs): shingles -> 16 seeded-min signatures -> 4-band
     * buckets -> candidate pairs -> shingle-set sizes + intersections.
     */
+  /** The affine minhash family's seed rows — the SAME driver-derived
+    * constants Dedup.minHashSignatures bakes into its Column expressions.
+    */
+  private lazy val MINHASH_SEEDS_SQL = (0 until 16).map { i =>
+    val (a, b, c) = graft.dedup.Dedup.minHashSeed(i)
+    s"($i, ${a}::BIGINT, ${b}::BIGINT, ${c}::BIGINT)"
+  }.mkString(", ")
+
   private lazy val MINHASH_CTES =
     s"""$TOKS_SH_CTES,
-       |mh AS (SELECT doc_id, i, min(${phashSql("i", "s")}) AS mh
-       |  FROM sh, unnest(generate_series(0, 15)) AS g(i) GROUP BY 1, 2),
+       |hs AS (SELECT doc_id, ${phashSql("s")} AS h FROM sh),
+       |seeds AS (SELECT * FROM (VALUES $MINHASH_SEEDS_SQL)
+       |  AS t(i, a, b, c)),
+       |mh AS (SELECT doc_id, i,
+       |  min((a * (h & 1073741823) + b * (h >> 30) + c)
+       |    % ${graft.dedup.Dedup.minHashMod}) AS mh
+       |  FROM hs, seeds GROUP BY 1, 2),
        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs
        |  FROM mh GROUP BY 1),
        |banded AS (SELECT doc_id, b AS band,

@@ -150,16 +150,46 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** MinHash signature columns: for each of `numHashes` seeds, the min
-    * seeded engine-portable hash (graft.functions.PortableHash — statable
-    * in the DuckDB oracle, round-1 verdict fix #4) over the doc's shingle
-    * set.
+  /** Seed constants for the affine minhash family, a pure function of the
+    * seed index via the portable hash (no RNG state; identical literals
+    * bake into the DuckDB oracle). a,b < 2^29 and odd; c < 2^59.
+    */
+  def minHashSeed(i: Int): (Long, Long, Long) = {
+    import graft.functions.PortableHashJvm.phash
+    (phash("mh-a", i) % (1L << 29) | 1L,
+     phash("mh-b", i) % (1L << 29) | 1L,
+     phash("mh-c", i) % (1L << 59))
+  }
+
+  /** 2^61: the affine family's modulus (all terms stay < 2^60 before the
+    * mod, so the arithmetic is overflow-free in any engine's int64).
+    */
+  val minHashMod: Long = 1L << 61
+
+  /** MinHash signature columns. ONE engine-portable md5 hash per distinct
+    * shingle (graft.functions.PortableHash), then `numHashes` cheap affine
+    * transforms of its low/high halves:
+    *
+    *   mh_i = (a_i * (h & (2^30-1)) + b_i * (h >> 30) + c_i) mod 2^61
+    *
+    * — the standard 2-universal seeding. The round-2 form hashed every
+    * shingle `numHashes` times (16 md5 passes over the shingle corpus —
+    * at 100 TB the dominant map cost); this computes the md5 once and the
+    * seeds in registers, with every operation exactly statable in the
+    * DuckDB oracle (products < 2^59+2^59 < 2^61 — no int64 overflow, no
+    * engine-dependent rounding).
     */
   def minHashSignatures(
       docs: DataFrame, numHashes: Int = 16, k: Int = 3): DataFrame = {
     val sh = docShingles(docs, k)
-    val aggs = (0 until numHashes).map(i =>
-      min(PortableHash.phash(lit(i), col("shingle"))).as(s"mh_$i"))
+      .select(col("doc_id"), PortableHash.phash(col("shingle")).as("h"))
+    val lo = col("h").bitwiseAND(lit((1L << 30) - 1))
+    val hi = shiftrightunsigned(col("h"), 30)
+    val aggs = (0 until numHashes).map { i =>
+      val (a, b, c) = minHashSeed(i)
+      min((lit(a) * lo + lit(b) * hi + lit(c)) % lit(minHashMod))
+        .as(s"mh_$i")
+    }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -76,10 +76,12 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, "unrelated totally separate other words entirely distinct " +
         "different extra filler tokens here")
     ).toDF("doc_id", "text")
-    // 8 bands x 2 rows: band-collision prob 1-(1-J^2)^8 = 0.9998 at
-    // J=0.818 (the default 4x4 banding deterministically missed one link
-    // on this tiny fixture)
-    val groups = Dedup.dupGroups(chain, 0.7, numHashes = 16, bands = 8)
+    // 16 bands x 1 row: per-link band-collision prob 1-(1-J)^16 ~ 1-2e-12
+    // at J=0.818 (coarser bandings deterministically missed a chain link
+    // on this tiny fixture — LSH recall at n=4 is a property of the
+    // concrete hash family, and exact verification filters the extra
+    // candidates the 1-row bands admit)
+    val groups = Dedup.dupGroups(chain, 0.7, numHashes = 16, bands = 16)
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(groups(0L) == (0L, 3L), s"got ${groups(0L)}")
