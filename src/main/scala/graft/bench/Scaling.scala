@@ -205,10 +205,16 @@ object Pair {
       (s"local-cluster[$n,$c,$mem]", n * c)
     } else (s"local[$spec]", spec.toInt)
 
+  /** @param onUpdate called with the current best Result after the initial
+    *   session pair and again after every retry session — callers that
+    *   persist results (Bench) stay crash/timeout-safe: the artifact always
+    *   carries the latest completed measurement instead of nothing.
+    */
   def run(path: String, specN: String, spec4N: String, supersteps: Int,
       broadcastState: Boolean, timedRuns: Int = 5,
       recheck: Boolean = true, parts: Int = -1,
-      retryBelow: Double = 0.0, maxRetryPairs: Int = 1): Result = {
+      retryBelow: Double = 0.0, maxRetryPairs: Int = 1,
+      onUpdate: Result => Unit = _ => ()): Result = {
     val (mN, cN) = master(specN)
     val (m4, c4) = master(spec4N)
     require(c4 == 4 * cN, s"$spec4N is not 4x $specN")
@@ -223,6 +229,10 @@ object Pair {
     bestN = math.min(bestN, sN2)
     val edges = Scaling.lastEdges
     def eff: Double = bestN / (4.0 * best4)
+    def snapshot(): Result =
+      Result(specN, spec4N, cN, c4, edges, supersteps, bestN, best4, sN2,
+        eff)
+    onUpdate(snapshot())
     // Host-noise robustness: this VM shows ~2x run-to-run swings between
     // whole sessions, and noise only ever ADDS time — so when a session
     // pair lands under `retryBelow`, measuring additional sessions and
@@ -231,20 +241,39 @@ object Pair {
     // a bad window hurts most: eff = bestN / (4 * best4)); if the pair
     // still misses, the N session re-measures too, keeping the estimate
     // honest in both directions.
-    var retries = 0
-    while (retryBelow > 0 && eff < retryBelow && retries < maxRetryPairs) {
+    def remeasureN(): Unit = {
+      val sN3 = Scaling.measureSamples(path, mN, cN, supersteps,
+        broadcastState, timedRuns, parts).min
+      sN2 = math.min(sN2, sN3)
+      bestN = math.min(bestN, sN3)
+      onUpdate(snapshot())
+    }
+    def remeasure4(): Unit = {
       best4 = math.min(best4, Scaling.measureSamples(path, m4, c4,
         supersteps, broadcastState, timedRuns, parts).min)
-      if (eff < retryBelow) {
-        val sN3 = Scaling.measureSamples(path, mN, cN, supersteps,
-          broadcastState, timedRuns, parts).min
-        sN2 = math.min(sN2, sN3)
-        bestN = math.min(bestN, sN3)
-      }
+      onUpdate(snapshot())
+    }
+    var retries = 0
+    while (retryBelow > 0 && eff < retryBelow && retries < maxRetryPairs) {
+      remeasure4()
+      if (eff < retryBelow) remeasureN()
       retries += 1
     }
-    Result(specN, spec4N, cN, c4, edges, supersteps, bestN, best4, sN2,
-      eff)
+    // Honesty recheck: additive noise on the N side INFLATES efficiency
+    // (eff = secN / (4 * sec4N)), and a gate cleared purely by 4N retries
+    // leaves secN at a single possibly-slow-window sample. Re-measure N
+    // once (min can only LOWER eff — the anti-fabrication direction); if
+    // the fairer N drops the estimate back under the gate, resume retrying
+    // within the remaining budget.
+    if (retryBelow > 0 && retries > 0 && eff >= retryBelow) {
+      remeasureN()
+      while (eff < retryBelow && retries < maxRetryPairs) {
+        remeasure4()
+        if (eff < retryBelow) remeasureN()
+        retries += 1
+      }
+    }
+    snapshot()
   }
 }
 
@@ -257,8 +286,21 @@ object PairCli {
     val Array(path, a, b, steps, bcast) = args
     val r = Pair.run(path, a, b, steps.toInt, bcast.toBoolean,
       timedRuns = sys.env.getOrElse("GRAFT_TIMED_RUNS", "5").toInt,
-      recheck = sys.env.getOrElse("GRAFT_QUICK", "0") != "1")
+      recheck = sys.env.getOrElse("GRAFT_QUICK", "0") != "1",
+      retryBelow = sys.env.getOrElse("GRAFT_RETRY_BELOW", "0").toDouble,
+      onUpdate = p => println(s"[pair-update] ${p.json}"))
     println(r.json)
+  }
+}
+
+/** Materialize a Zipf bench graph:
+  * runMain graft.bench.GenBenchCli <path> <numConvs> <turnsPerConv> <actors>
+  */
+object GenBenchCli {
+  def main(args: Array[String]): Unit = {
+    val Array(path, convs, turns, actors) = args
+    println(Scaling.materializeBenchEdges(path, convs.toInt, turns.toInt,
+      actors.toInt))
   }
 }
 

@@ -62,6 +62,16 @@ class CatalogServerSpec extends SparkSpec {
       assert(in.readLine() == "OK")
       assert(readBlock(in).size == 2)
 
+      // parameterized compute dispatch: sssp:<start> names its property
+      out.println("COMPUTE g sssp:0")
+      assert(in.readLine() == "OK sssp_0")
+      out.println("GET g sssp_0")
+      assert(in.readLine() == "OK")
+      val dists = readBlock(in).map { l =>
+        val Array(id, d) = l.split("\t"); id.toLong -> d.toDouble
+      }.toMap
+      assert(dists(2L) == 2.0 && dists(4L) == Double.PositiveInfinity)
+
       // unknown algorithm -> ERR, connection stays usable
       out.println("COMPUTE g nope")
       assert(in.readLine().startsWith("ERR"))
