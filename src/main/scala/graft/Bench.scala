@@ -37,8 +37,11 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
+      // strip ALL control chars (< 0x20), not just \n: a \r or \t in an
+      // exception message would otherwise yield invalid JSON (round-3
+      // advice), defeating the machine-readability this field exists for
       "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", " ") + "\""
+        .map(c => if (c < ' ') ' ' else c) + "\""
     }.mkString("{", ",", "}")
     val errJson = if (errs == "{}") "" else s""","errors":$errs"""
     val total = results.map(_._2).sum

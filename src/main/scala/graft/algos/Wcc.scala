@@ -39,9 +39,13 @@ object Wcc {
   case class Result(components: DataFrame, stats: ConvergenceStats)
 
   /** @param sparseVertices when true, the component state is initialized
-    *   from the EDGE ENDPOINTS only instead of the dense 0..n-1 universe —
-    *   vertices with no incident edge are simply absent from the output
-    *   (the caller unions them back as singletons if it needs them). This is
+    *   from the CANONICAL edge endpoints only instead of the dense 0..n-1
+    *   universe — vertices with no incident edge are absent from the
+    *   output, and so is a vertex whose ONLY incident edges are self-loops
+    *   (the canonical set drops self-loops before the endpoints are
+    *   collected; dense mode labels such a vertex as its own singleton).
+    *   The caller unions absent ids back as singletons if it needs them —
+    *   coalesce(comp, id) is correct for both absence classes. This is
     *   the right shape when the edge set is far smaller than the id space:
     *   e.g. near-dup closure over an LSH pair graph iterates a pair-sized
     *   fixed point instead of billions of untouched singleton rows

@@ -89,13 +89,20 @@ class ParquetTableIO(root: String) extends TableIO {
       name: String, df: DataFrame, tag: String): Unit = {
     require(tag.matches("[A-Za-z0-9_-]+"), s"bad tag: $tag")
     // tag lives in the data-dir name, so the dedup check is just a
-    // manifest scan — no sidecar schema change, readers are unaffected
+    // manifest scan — no sidecar schema change, readers are unaffected.
+    // The committed tag is EXACTLY what follows the "snap-<n>-" prefix;
+    // a bare endsWith("-$tag") would false-match tag "b" against a dir
+    // committed for tag "a-b" (tags may contain '-') and silently DROP
+    // the increment (round-3 verdict #2 — the failure mode is data loss).
+    def dirTag(d: String): String =
+      d.replaceFirst("^snap-[0-9]+-", "")
     if (!exists(name)) {
       val dataDir = dir(name).resolve(s"snap-0-$tag")
       df.write.mode("overwrite").parquet(dataDir.toString)
       val rows = df.sparkSession.read.parquet(dataDir.toString).count()
       commit(name, 0L, rows, Seq(s"snap-0-$tag"))
-    } else if (!currentDirs(name).exists(_.endsWith(s"-$tag"))) {
+    } else if (!currentDirs(name).exists(d =>
+        d != dirTag(d) && dirTag(d) == tag)) {
       val snap = currentSnapshot(name) + 1
       val dataDir = dir(name).resolve(s"snap-$snap-$tag")
       df.write.mode("overwrite").parquet(dataDir.toString)

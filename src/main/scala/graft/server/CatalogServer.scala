@@ -90,7 +90,9 @@ class CatalogServer(
             line = in.readLine()
           case Seq("CREATE", g, path) =>
             reply(out) {
-              catalog.create(g, spark.read.parquet(path))
+              mutate.synchronized {
+                catalog.create(g, spark.read.parquet(path))
+              }
               "OK created"
             }
             line = in.readLine()
@@ -101,9 +103,13 @@ class CatalogServer(
             }
             line = in.readLine()
           case Seq("GET", g, prop, rest @ _*) =>
-            val limit = rest.headOption.map(_.toLong)
-              .getOrElse(Long.MaxValue)
+            // the limit parses INSIDE the try: a malformed argument
+            // (`GET g p xyz`) must reply ERR like every other bad input,
+            // not kill the connection with an uncaught
+            // NumberFormatException (round-3 verdict #3)
             try {
+              val limit = rest.headOption.map(_.toLong)
+                .getOrElse(Long.MaxValue)
               val df = catalog.readProperty(spark, g, prop)
               out.println("OK")
               streamRows(df, limit, out)
@@ -129,31 +135,61 @@ class CatalogServer(
     (s"${e.getClass.getSimpleName}: " +
       Option(e.getMessage).getOrElse("")).replace('\n', ' ').take(200)
 
+  /** Mutating commands (CREATE/COMPUTE) serialize on this lock. Two
+    * reasons, both load-bearing for a LONG-RUNNING daemon:
+    *  - two concurrent COMPUTEs of the same algorithm on one graph would
+    *    race `writeProperty` on the same table (round-3 verdict #3);
+    *  - `compute` reclaims every dataset the call persisted via an RDD-id
+    *    delta sweep (below), and the iterative algorithms carry state in
+    *    localCheckpoint'd (lineage-TRUNCATED) frames — unpersisting one of
+    *    those out from under a concurrently-running compute would lose
+    *    blocks that can never be recomputed. Serializing mutations makes
+    *    the sweep exact. The job INSIDE a compute still uses the whole
+    *    cluster; GET/LIST/PROPS stay fully concurrent (they read parquet,
+    *    never executor caches).
+    */
+  private val mutate = new Object
+
   /** do_action compute dispatch: run, store as a property, return its name
     * (the reference computes then serves by name, catalog.rs:270-288).
+    *
+    * Resource lifecycle (round-3 verdict #1 — the daemon's own
+    * 100x-uptime scale-killer): each call builds a fresh LinkGraph whose
+    * lazy caches (bySrc/multiplicities/minWeight), PageRank's dense degree
+    * table, and every per-round localCheckpoint are persisted for the
+    * duration of the run. Once the property is parquet on disk NONE of
+    * that is needed, so the finally-block unpersists exactly the RDD ids
+    * this call created — N COMPUTEs pin one compute's working set, not N.
     */
-  private def compute(g: String, algo: String): String = {
-    val graph = catalog.graph(spark, g)
-    val (prop, df: DataFrame) = algo match {
-      case "page_rank" =>
-        "page_rank" -> graft.algos.PageRank.run(graph).scores
-      case "wcc" =>
-        "wcc" -> graft.algos.Wcc.run(graph).components
-      case "scc" =>
-        "scc" -> graft.algos.Scc.run(graph).components
-      case "label_propagation" =>
-        "label_propagation" ->
-          graft.algos.LabelPropagation.run(graph).labels
-      case "degrees" => "degrees" -> graph.degrees
-      case s if s.startsWith("sssp:") =>
-        val start = s.stripPrefix("sssp:").toLong
-        s"sssp_$start" ->
-          graft.algos.Sssp.run(graph, graft.SsspConfig(start)).distances
-      case other => throw new IllegalArgumentException(
-        s"unknown algorithm '$other'")
+  private def compute(g: String, algo: String): String = mutate.synchronized {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val graph = catalog.graph(spark, g)
+      val (prop, df: DataFrame) = algo match {
+        case "page_rank" =>
+          "page_rank" -> graft.algos.PageRank.run(graph).scores
+        case "wcc" =>
+          "wcc" -> graft.algos.Wcc.run(graph).components
+        case "scc" =>
+          "scc" -> graft.algos.Scc.run(graph).components
+        case "label_propagation" =>
+          "label_propagation" ->
+            graft.algos.LabelPropagation.run(graph).labels
+        case "degrees" => "degrees" -> graph.degrees
+        case s if s.startsWith("sssp:") =>
+          val start = s.stripPrefix("sssp:").toLong
+          s"sssp_$start" ->
+            graft.algos.Sssp.run(graph, graft.SsspConfig(start)).distances
+        case other => throw new IllegalArgumentException(
+          s"unknown algorithm '$other'")
+      }
+      catalog.writeProperty(g, prop, df)
+      prop
+    } finally {
+      val after = spark.sparkContext.getPersistentRDDs
+      (after.keySet -- before).foreach(id =>
+        after.get(id).foreach(_.unpersist(blocking = false)))
     }
-    catalog.writeProperty(g, prop, df)
-    prop
   }
 
   /** Pull-based row streaming: one partition in driver memory at a time. */

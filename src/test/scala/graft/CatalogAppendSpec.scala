@@ -61,6 +61,28 @@ class CatalogAppendSpec extends SparkSpec {
     assert(cat.graph(spark, "g").edgeCount == 3)
   }
 
+  test("tag matching is exact, not suffix-based (tags may contain '-')") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-cat").toString
+    val cat = new GraphCatalog(new ParquetTableIO(root))
+
+    // round-3 verdict #2: endsWith("-$tag") considered tag "b" already
+    // committed once any dir carried tag "a-b" — the increment was
+    // SILENTLY DROPPED (data loss). Exact matching must commit both.
+    cat.appendEdgesTagged("g",
+      Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"), "a-b")
+    cat.appendEdgesTagged("g",
+      Seq((1L, 2L, 1.0)).toDF("src", "dst", "weight"), "b")
+    assert(cat.graph(spark, "g").edgeCount == 2)
+    // replays of each still skip
+    cat.appendEdgesTagged("g",
+      Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"), "a-b")
+    cat.appendEdgesTagged("g",
+      Seq((1L, 2L, 1.0)).toDF("src", "dst", "weight"), "b")
+    assert(cat.graph(spark, "g").edgeCount == 2)
+  }
+
   test("computed properties are catalog citizens (write/read/list)") {
     val s = spark
     import s.implicits._
