@@ -18,11 +18,20 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
     val spark = Scaling.session(cpus)
+    // Best-of-k per query (round-3 verdict: two same-code rolls disagreed
+    // 2x on individual queries — a single timed run cannot distinguish
+    // regression from host noise; the scaling block already takes
+    // min-per-session and host noise is strictly additive, so min is the
+    // estimator that converges toward the true cost). Passes are
+    // interleaved whole-suite rather than back-to-back per query so a
+    // transient host-contention window cannot poison both samples of the
+    // same query.
+    val queryRuns = sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "2").toInt
     // (name, seconds, error-or-null): a broken query must surface as an
     // explicit "err" entry, never as a normal-looking fast timing row
     // (round-2 verdict #4: the swallowed catch could disguise a regression
     // as a speedup).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    def onePass() = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
@@ -32,6 +41,25 @@ object Bench {
               Option(e.getMessage).getOrElse("").take(120))
           }
         (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val passes = (1 to queryRuns).map { _ =>
+      val p = onePass()
+      // release every cache the pass persisted so pass k+1 measures the
+      // same cold conditions as pass 1 (and memory doesn't grow k-fold);
+      // catalog.clearCache drops the CacheManager entries too, so pass
+      // k+1 cannot silently reuse pass k's InMemoryRelations via
+      // canonical-plan equality
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      p
+    }
+    val results = passes.transpose.map { samples =>
+      val (name, _, _) = samples.head
+      // an error in ANY pass is reported (min over clean samples if any)
+      val clean = samples.filter(_._3.isEmpty)
+      if (clean.nonEmpty) (name, clean.map(_._2).min, samples.flatMap(_._3).headOption)
+      else (name, samples.map(_._2).min, samples.head._3)
     }
     spark.stop()
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
