@@ -100,6 +100,21 @@ object SparkEntry {
     "d_dup_groups" -> ((s, dir) =>
       graft.dedup.Dedup.dupGroups(docs(s, dir), 0.5)),
 
+    // streaming reconciliation, driver-gated: replay the stream's staged
+    // first-batch-wins output under a deterministic arrival order
+    // (batch = doc_id % 3; StreamingSpec pins the replay == the real
+    // flatMapGroupsWithState stream), then run the REAL recanonicalize job
+    // over it — final canonicals must meet batch Dedup.exact's global-min
+    // contract while dup_rank stays the arrival-order fact.
+    "d_stream_recanon" -> ((s, dir) => {
+      val staged = graft.streaming.StreamingDedup.stagedArrivalOrder(
+        docs(s, dir), STREAM_BATCHES)
+      graft.streaming.StreamingDedup.recanonicalize(staged)
+        .select(col("doc_id"), col("canonical_id"),
+          col("is_duplicate").cast("long").as("is_duplicate"),
+          col("dup_rank"), col("fingerprint"))
+    }),
+
     "d_simhash_pairs" -> ((s, dir) =>
       graft.dedup.Dedup.simHashPairs(docs(s, dir), SIMHASH_MAX_HAMMING)),
 
@@ -138,6 +153,7 @@ object SparkEntry {
   // LSH / banding parameters shared between the Spark queries and the
   // generated DuckDB oracle SQL.
   private val NGRAM_DF_CAP = 100L
+  private val STREAM_BATCHES = 3
   private val SIMHASH_MAX_HAMMING = 16
   private val EMB_DIMS = 64
   private val EMB_PLANES = 6
@@ -496,6 +512,26 @@ object SparkEntry {
          | GROUP BY 1)
          |SELECT c.doc_id, c.group_id, g.group_size
          |FROM comp c JOIN gs g USING (group_id)""".stripMargin,
+
+    // the end contract recanonicalize must restore: canonical = GLOBAL min
+    // doc_id per fingerprint (batch Dedup.exact), dup_rank = arrival-order
+    // rank under the same (batch = doc_id % 3, doc_id) order the Spark side
+    // replays. The staged intermediate (running min) is deliberately absent
+    // here — the oracle states the reconciled truth, the Spark side has to
+    // reach it through the real recanonicalize job.
+    "d_stream_recanon" ->
+      s"""WITH fp AS (SELECT doc_id,
+         |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+         |  doc_id % $STREAM_BATCHES AS batch FROM documents),
+         |r AS (SELECT doc_id, fingerprint,
+         |  (row_number() OVER (PARTITION BY fingerprint
+         |     ORDER BY batch, doc_id) - 1)::BIGINT AS dup_rank,
+         |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+         |  FROM fp)
+         |SELECT doc_id, canonical_id,
+         |  (CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END)::BIGINT
+         |    AS is_duplicate,
+         |  dup_rank, fingerprint FROM r""".stripMargin,
 
     "d_simhash_pairs" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -65,6 +65,34 @@ object StreamingDedup {
       }
   }
 
+  /** Batch-mode replay of the stream's staged output under a deterministic
+    * arrival order: doc_id % numBatches assigns each document to a
+    * micro-batch, and the first-batch-wins contract of dedupStream is then
+    * exactly a pair of running window functions in arrival order
+    * (batch, doc_id) — the stream sorts each micro-batch group by doc_id, so
+    * a row's emitted canonical is the RUNNING min over arrival order and its
+    * dup_rank the running count. A StreamingSpec case pins this equivalence
+    * against the real flatMapGroupsWithState stream fed the same batches.
+    *
+    * This exists so the stream -> recanonicalize reconciliation path can be
+    * driver-gated with a DuckDB oracle (streams are not replayable in a
+    * one-shot verify harness; this replay is). One shuffle on the
+    * high-cardinality fingerprint; window partitions are duplicate-group
+    * sized — tiny at any scale.
+    */
+  def stagedArrivalOrder(docs: DataFrame, numBatches: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint"))
+      .orderBy(col("batch"), col("doc_id"))
+    withFingerprint(docs)
+      .withColumn("batch", pmod(col("doc_id"), lit(numBatches.toLong)))
+      .select(col("doc_id"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        (row_number().over(w) > 1).as("is_duplicate"),
+        (row_number().over(w) - 1).cast("long").as("dup_rank"),
+        col("fingerprint"))
+  }
+
   /** Periodic batch re-canonicalization over the staged stream output: the
     * stream's canonical ids are first-batch-wins (an already-emitted row is
     * never retracted), so a later micro-batch carrying a SMALLER doc_id

@@ -158,6 +158,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stagedArrivalOrder replay equals the real stream fed the same " +
+      "micro-batches") {
+    val dir = Files.createTempDirectory("graft-staged-replay").toString
+    val s = spark
+    import s.implicits._
+    // duplicates straddling batch boundaries in BOTH directions: fingerprint
+    // A's min doc (3) lands in batch 0 (no drift), fingerprint B's min doc
+    // (5, batch 2) arrives AFTER its batch-0 sibling 6 (drift — the case
+    // recanonicalize exists for). batch = doc_id % 3.
+    val docs = Seq((3L, "alpha beta"), (7L, "ALPHA  beta"),
+      (6L, "gamma delta"), (5L, "GAMMA delta"),
+      (9L, "solo text"))
+    val numBatches = 3
+    (0 until numBatches).foreach { b =>
+      val part = docs.filter(_._1 % numBatches == b)
+      if (part.nonEmpty) {
+        part.toDF("doc_id", "text").coalesce(1)
+          .write.mode("append").parquet(s"$dir/in")
+        Thread.sleep(1100) // file-source orders micro-batches by mtime
+      }
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in")
+    val q = graft.streaming.StreamingDedup.dedupStream(stream)
+      .writeStream.format("memory").queryName("staged_replay")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getString(4))
+    val streamed = spark.table("staged_replay").collect().map(key).toSet
+    val replayed = graft.streaming.StreamingDedup
+      .stagedArrivalOrder(docs.toDF("doc_id", "text"), numBatches)
+      .collect().map(key).toSet
+    assert(replayed == streamed, s"replay=$replayed stream=$streamed")
+    // the fixture genuinely drifts: doc 6's staged canonical (6) is not the
+    // global min (5) — so the driver-gated d_stream_recanon path exercises a
+    // real reconciliation, not an identity map
+    assert(streamed.exists(r => r._1 == 6L && r._2 == 6L))
+    val fixed = graft.streaming.StreamingDedup
+      .recanonicalize(spark.table("staged_replay"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed(6L) == 5L && fixed(5L) == 5L && fixed(7L) == 3L)
+  }
+
   test("windowed edge-rate aggregation emits per-window counts") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val ts = Fixtures.zipfTranscripts(spark, 20, 4, 5)
