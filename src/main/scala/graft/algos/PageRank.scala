@@ -59,13 +59,40 @@ object PageRank {
 
   case class Result(scores: DataFrame, stats: ConvergenceStats)
 
+  /** AUTO salting decision (gatherSalt < 0) for shuffle-mode gathers, from
+    * the hub histogram (LinkGraph.srcHubStats). Two measured preconditions
+    * (BASELINE.md) must BOTH hold before targeted hub splitting engages:
+    *
+    *  - `cores >= 32`: below ~32 concurrent cores the split costs more
+    *    than the straggler it removes (the senders explode + per-superstep
+    *    hub broadcast are pure overhead while the hub partition still fits
+    *    in the wave) — measured on the Zipf bench graph, so the N->4N
+    *    scaling protocol (2 and 8 cores) is deliberately untouched;
+    *  - the heaviest src must exceed one average partition (below that,
+    *    hash(src) placement already packs it into a normal-sized wave slot).
+    *
+    * The returned factor splits the hub across ~2x the partition-spans it
+    * occupies (so each virtual id owns ~half an average partition), capped
+    * at 16 — beyond that the per-superstep state replication dominates.
+    * Pure so the rule is unit-testable.
+    */
+  def autoSalt(maxSrcRows: Long, totalRows: Long, numPartitions: Int,
+      cores: Int): Int =
+    if (cores < 32 || totalRows <= 0L) 1
+    else {
+      val perPart = math.max(1L, totalRows / math.max(1, numPartitions))
+      if (maxSrcRows <= perPart) 1
+      else math.min(16, math.max(2,
+        math.ceil(2.0 * maxSrcRows / perPart).toInt))
+    }
+
   def run(
       graph: LinkGraph,
       config: PageRankConfig = PageRankConfig(),
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 5,
       broadcastVertices: Long = 5000000L,
-      gatherSalt: Int = sys.env.getOrElse("GRAFT_SALT", "1").toInt): Result = {
+      gatherSalt: Int = sys.env.getOrElse("GRAFT_SALT", "-1").toInt): Result = {
     val spark = graph.edges.sparkSession
     import spark.implicits._
 
@@ -86,10 +113,25 @@ object PageRank {
     // shuffles by (src, salt) and meets it with no exchange on the big
     // side, and Zipf hubs are split across `gatherSalt` partitions instead
     // of capping one (stage time = slowest partition).
-    val salt = if (doBroadcast) 1 else math.max(1, gatherSalt)
+    // gatherSalt: >= 1 explicit (1 = never split), < 0 = AUTO — engage
+    // targeted hub splitting from the measured preconditions (autoSalt
+    // scaladoc; the default, mirroring the reference's degree-balanced
+    // partitioning being always-on rather than a flag). The histogram costs
+    // one aggregation over the multigraph cache the gather scans anyway.
+    val salt =
+      if (doBroadcast) 1
+      else if (gatherSalt >= 1) gatherSalt
+      else {
+        val cores = spark.sparkContext.defaultParallelism
+        if (cores < 32) 1 // below the crossover: skip the histogram job too
+        else {
+          val (maxRows, totalRows) = graph.srcHubStats
+          autoSalt(maxRows, totalRows, graph.numPartitions, cores)
+        }
+      }
     // salt == 1 keeps the single-column join key: the composite (src, salt)
     // probe measured ~+35% CPU across the whole gather scan, so salting
-    // must be opted into for graphs whose hub partitions actually dominate.
+    // only engages for graphs whose hub partitions actually dominate.
     val (edges, hubs) =
       if (doBroadcast) (graph.multiplicities, null)
       else if (salt <= 1) (graph.multiplicitiesBySrc, null)

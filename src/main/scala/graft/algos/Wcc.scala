@@ -38,6 +38,36 @@ object Wcc {
 
   case class Result(components: DataFrame, stats: ConvergenceStats)
 
+  /** AUTO contraction engages after this many hash-min+jump rounds — the
+    * measured sweet spot on the 112M-edge bench graph (BASELINE.md:
+    * contraction after round 2 beat both plain and earlier contraction;
+    * rounds 1-2 settle the bulk of a power-law graph into its giant
+    * component, Afforest's own observation, wcc.rs:158-301).
+    */
+  val AutoContractRound = 2
+
+  /** AUTO-mode engagement rule (config.contractAfter < 0), evaluated at
+    * each convergence check: contract when (a) the decision round is
+    * reached, (b) the state is large enough that full-graph rounds are the
+    * dominant cost (below `minState` the contraction's own jobs cost more
+    * than the rounds they skip — toy graphs stay on the plain path), and
+    * (c) ANY work remains. No changed-fraction condition, deliberately: a
+    * plain hash-min round scans the FULL undirected edge set no matter how
+    * few labels still move (measured on the 112M-edge bench graph: round 2
+    * leaves 4,836 of 1.9M vertices moving — 0.25% — yet rounds 3-4 still
+    * cost full scans, and contracting exactly there was the measured 74.5
+    * -> 68.4 s win). That full-scan-regardless-of-progress cost is the
+    * problem Afforest exists to skip, and why the reference runs it
+    * UNCONDITIONALLY as its default (app.rs:15). Worst case (the fixed
+    * point would have finished next round) contraction trades one full
+    * edge scan for the contraction build — a wash; every earlier finish is
+    * a win that grows with remaining rounds. Pure so the rule itself is
+    * unit-testable.
+    */
+  def autoEngage(iteration: Int, stateRows: Long, changed: Long,
+      minState: Long): Boolean =
+    iteration >= AutoContractRound && stateRows >= minState && changed > 0L
+
   /** @param sparseVertices when true, the component state is initialized
     *   from the CANONICAL edge endpoints only instead of the dense 0..n-1
     *   universe — vertices with no incident edge are absent from the
@@ -57,7 +87,8 @@ object Wcc {
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 10,
       broadcastVertices: Long = 5000000L,
-      sparseVertices: Boolean = false): Result = {
+      sparseVertices: Boolean = false,
+      autoContractMinState: Long = 100000L): Result = {
     val spark = graph.edges.sparkSession
     import spark.implicits._
 
@@ -135,11 +166,17 @@ object Wcc {
     val batch =
       sys.env.get("GRAFT_WCC_BATCH").map(_.toInt).getOrElse(
         if (doBroadcast) 1 else 4)
+    // AUTO mode clamps the first batch to the decision round so the
+    // engagement rule is evaluated exactly where the measured win was
+    // (after round 2), not wherever the batch boundary happens to fall.
+    val contractAt =
+      if (config.contractAfter < 0) AutoContractRound
+      else config.contractAfter
     var changed = Long.MaxValue
     while (changed > 0 && iteration < config.maxIterations) {
       var rounds = math.min(batch, config.maxIterations - iteration)
-      if (config.contractAfter > iteration)
-        rounds = math.min(rounds, config.contractAfter - iteration)
+      if (contractAt > iteration)
+        rounds = math.min(rounds, contractAt - iteration)
       // batch-start comp rides along as `prev` so the convergence check is
       // a flag-filter over the materialized state (round-1 verdict #6), now
       // amortized over the whole batch.
@@ -169,13 +206,24 @@ object Wcc {
         .select($"id", $"comp", ($"comp" =!= $"prev").as("chg"))
         .transform(StatsReset.checkpointNoStats)
 
-      changed = stepped.filter($"chg").count()
+      // ONE action per batch serves both the convergence check and the
+      // auto-contraction rule: total state rows + changed rows.
+      val counts = stepped
+        .agg(count(lit(1)), count(when($"chg", lit(1)))).first()
+      val stateRows = counts.getLong(0)
+      changed = counts.getLong(1)
 
       comp = stepped.select($"id", $"comp")
       iteration += rounds
 
-      if (config.contractAfter > 0 && changed > 0
-          && iteration >= config.contractAfter
+      val wantContract =
+        if (config.contractAfter < 0)
+          autoEngage(iteration, stateRows, changed, autoContractMinState)
+        else config.contractAfter > 0 && iteration >= config.contractAfter
+      if (sys.env.contains("GRAFT_WCC_DEBUG"))
+        System.err.println(s"[wcc] iter=$iteration state=$stateRows " +
+          s"changed=$changed sparse=$sparseVertices contract=$wantContract")
+      if (wantContract && changed > 0
           && iteration < config.maxIterations) {
         // Afforest-analogue work skipping by CONTRACTION (see WccConfig):
         // rebuild the graph over label-classes and recurse on it. changed>0
@@ -201,7 +249,8 @@ object Wcc {
           config, checkpointDir = None,
           broadcastVertices = broadcastVertices,
           // class labels are sparse in the id space — never densify
-          sparseVertices = true)
+          sparseVertices = true,
+          autoContractMinState = autoContractMinState)
         val composed = comp
           .join(maybeBroadcast(sub.components
             .select($"id".as("comp"), $"comp".as("fin"))), Seq("comp"),

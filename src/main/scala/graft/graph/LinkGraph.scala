@@ -159,6 +159,21 @@ class LinkGraph private (
       .sortWithinPartitions($"src", $"dst")
       .persist())
 
+  /** Hub histogram over the compressed multigraph: (max rows for any single
+    * src, total rows). One cheap aggregation over the cached
+    * `multiplicitiesBySrc` (the table shuffle-mode gathers scan anyway) —
+    * the input to PageRank's AUTO salting decision (PageRank.autoSalt): a
+    * src whose row count exceeds the average partition caps every gather
+    * stage at that partition's size, the reference's degree-balanced
+    * work-range concern (graph_ops.rs:331-440).
+    */
+  lazy val srcHubStats: (Long, Long) = {
+    val r = multiplicitiesBySrc.groupBy($"src")
+      .agg(count(lit(1)).as("c"))
+      .agg(max($"c"), sum($"c")).first()
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+  }
+
   private val saltedCache =
     new scala.collection.concurrent.TrieMap[Int, (DataFrame, DataFrame)]()
 
@@ -179,7 +194,11 @@ class LinkGraph private (
     */
   def multiplicitiesSalted(salt: Int): (DataFrame, DataFrame) =
     saltedCache.getOrElseUpdate(salt, {
-      val mult = multiplicities
+      // derive from the src-partitioned cache (not `multiplicities`): the
+      // AUTO-salt path has already materialized it for srcHubStats, so the
+      // salted build is a repartition of an in-memory table instead of a
+      // second groupBy over the raw edges
+      val mult = multiplicitiesBySrc
       val rows = mult.count()
       val threshold = math.max(10000L, rows / (2L * numPartitions))
       val hubs = mult.groupBy($"src")

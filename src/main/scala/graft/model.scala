@@ -30,7 +30,7 @@ case class PageRankConfig(
   * tuning (chunk_size, neighbor_rounds, sampling) that has no distributed
   * meaning; ours carries the fixed-point loop bounds instead.
   *
-  * `contractAfter` (> 0 enables) is the distributed analogue of Afforest's
+  * `contractAfter` is the distributed analogue of Afforest's
   * work-skipping (wcc.rs:158-301: most vertices settle into the giant
   * component within a couple of neighbor rounds, after which touching their
   * edges is wasted work): after that many hash-min+jump rounds the graph is
@@ -40,8 +40,16 @@ case class PageRankConfig(
   * (label-class contraction preserves components and the min-id contract;
   * see Wcc scaladoc — a plain same-label edge DROP is unsound because a
   * settled edge can be another vertex's only path to its label).
+  *
+  * Default -1 = AUTO, mirroring the reference's choice of Afforest as its
+  * DEFAULT wcc in both CLI and server (crates/app/src/app.rs:15,
+  * crates/server/src/server.rs:545): contraction engages after round 2 (the
+  * measured sweet spot, BASELINE.md: 74.5 -> 68.4 s on 112M edges) but only
+  * when the state is big enough to matter and the changed count says real
+  * propagation work remains (Wcc.autoEngage). 0 = never contract; k > 0 =
+  * contract at exactly round k unconditionally.
   */
-case class WccConfig(maxIterations: Int = 200, contractAfter: Int = 0)
+case class WccConfig(maxIterations: Int = 200, contractAfter: Int = -1)
 
 /** Label propagation is absent from the reference (SURVEY.md §2.9); semantics
   * are synchronous LPA (Raghavan et al.) with deterministic smallest-label

@@ -103,7 +103,8 @@ object Main {
           arg(args, "max-iterations").map(_.toInt).getOrElse(20),
           arg(args, "tolerance").map(_.toDouble).getOrElse(1e-4),
           arg(args, "damping").map(_.toDouble).getOrElse(0.85))
-        val gatherSalt = arg(args, "gather-salt").map(_.toInt).getOrElse(1)
+        // -1 = AUTO hub splitting (PageRank.autoSalt); 1 disables
+        val gatherSalt = arg(args, "gather-salt").map(_.toInt).getOrElse(-1)
         val (res, sec) = time(runs, warmups)(() =>
           PageRank.run(g, cfg, checkpointDir = ckptFor(),
             gatherSalt = gatherSalt))
@@ -114,8 +115,10 @@ object Main {
       case "wcc" =>
         val cfg = WccConfig(
           arg(args, "max-iterations").map(_.toInt).getOrElse(200),
+          // -1 = AUTO (the default, like the reference's default Afforest,
+          // app.rs:15); 0 disables contraction
           contractAfter =
-            arg(args, "contract-after").map(_.toInt).getOrElse(0))
+            arg(args, "contract-after").map(_.toInt).getOrElse(-1))
         val (res, sec) = time(runs, warmups)(() =>
           Wcc.run(g, cfg, checkpointDir = ckptFor()))
         writeOut(res.components)

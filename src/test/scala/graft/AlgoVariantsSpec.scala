@@ -61,6 +61,32 @@ class AlgoVariantsSpec extends SparkSpec {
     assert(g3.nodeCount == 3L) // default unchanged: max_id + 1
   }
 
+  test("autoSalt rule: core crossover, hub threshold, factor, cap") {
+    import PageRank.autoSalt
+    // below the measured ~32-core crossover: never split
+    assert(autoSalt(50000L, 100000L, 32, 8) == 1)
+    assert(autoSalt(50000L, 100000L, 32, 31) == 1)
+    // at/above the crossover: split only when the heaviest src exceeds one
+    // average partition (100k rows / 32 parts = 3125)
+    assert(autoSalt(3000L, 100000L, 32, 32) == 1)
+    assert(autoSalt(6250L, 100000L, 32, 32) == 4) // hub spans 2 partitions
+    assert(autoSalt(12500L, 100000L, 32, 64) == 8)
+    // cap: a monster hub never explodes state more than 16x
+    assert(autoSalt(100000L, 100000L, 32, 32) == 16)
+    // degenerate inputs
+    assert(autoSalt(0L, 0L, 32, 64) == 1)
+  }
+
+  test("srcHubStats reports the multigraph hub histogram") {
+    val s = spark
+    // fixture: src 0 has 5 distinct dsts (+1 duplicate — multiplicities
+    // compress it), srcs 1..3 have one each: max = 5, total = 8
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (0L, 5L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val gg = LinkGraph(edgesDF(edges))
+    assert(gg.srcHubStats == ((5L, 8L)))
+  }
+
   test("shuffle-mode PageRank (virtual hub split) == broadcast mode") {
     // broadcastVertices = 0 forces the shuffle gather; gatherSalt > 1
     // routes hub srcs through virtual split ids. Scores must be identical

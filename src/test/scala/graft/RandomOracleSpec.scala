@@ -100,6 +100,45 @@ class RandomOracleSpec extends SparkSpec {
     }
   }
 
+  test("AUTO contraction (default config) engages and stays exact") {
+    // Default WccConfig is now AUTO (contractAfter = -1, mirroring the
+    // reference's default Afforest); the production floor keeps toy graphs
+    // plain, so force the size precondition with autoContractMinState = 1
+    // and reuse the adversarial cycle fixture (ids run against propagation).
+    val cycle = ((1L until 40L).map(i => (100L + i, 100L + i - 1)) :+
+      (100L, 139L))
+    val n = 140
+    val g = () => LinkGraph(edgesDF(cycle))
+    val auto = Wcc.run(g(), WccConfig(), autoContractMinState = 1L)
+    assert(auto.stats.converged)
+    val got = auto.components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bfsComponents(n, cycle), "auto labels != BFS oracle")
+    // engagement proof: a 40-cycle cannot converge in 3 plain hash-min+jump
+    // rounds, but WITH auto contraction (engaged at round 2, recursing on
+    // the contracted classes) the same budget converges — so the heuristic
+    // demonstrably fired.
+    val capped = WccConfig(maxIterations = 3)
+    assert(!Wcc.run(g(), capped.copy(contractAfter = 0)).stats.converged,
+      "fixture too easy: plain WCC converged in 3 rounds")
+    assert(Wcc.run(g(), capped, autoContractMinState = 1L).stats.converged,
+      "auto contraction did not engage within the capped budget")
+    // and the production floor really does keep small graphs plain: with
+    // the default floor the capped run must behave like contractAfter = 0
+    assert(!Wcc.run(g(), capped).stats.converged)
+  }
+
+  test("auto-engagement rule: round, size floor, work-remaining") {
+    import Wcc.autoEngage
+    assert(!autoEngage(1, 1000000L, 1000000L, 100000L)) // before round 2
+    assert(autoEngage(2, 1000000L, 100000L, 100000L)) // work remains
+    // the sparse tail still engages: full rounds cost full scans no matter
+    // how few labels move (the 112M-edge measurement in the scaladoc)
+    assert(autoEngage(2, 1000000L, 1L, 100000L))
+    assert(!autoEngage(2, 1000000L, 0L, 100000L)) // converged: nothing left
+    assert(!autoEngage(2, 99999L, 99999L, 100000L)) // under the floor
+  }
+
   test("sparse-vertex WCC labels edge-incident vertices identically") {
     val g = LinkGraph(edgesDF(edges))
     val dense = Wcc.run(g).components.collect()
