@@ -30,6 +30,17 @@ import java.util.concurrent.atomic.AtomicBoolean
   *                                  never holds the full result (do_get's
   *                                  10k-row record batches,
   *                                  server.rs:70-107)
+  *  - `GETB <graph> <prop> [n]`   — same rows as a BINARY Arrow IPC stream
+  *                                  (`OK arrow` line, then Arrow stream
+  *                                  format in 10k-row record batches ending
+  *                                  with the IPC end-of-stream marker; the
+  *                                  connection then resumes line mode).
+  *                                  This is the reference's actual result
+  *                                  framing — Flight do_get streams typed
+  *                                  RecordBatches (server.rs:34,70-107) —
+  *                                  for consumers reading results at
+  *                                  volume; TSV `GET` stays the default
+  *                                  control-plane form
   *  - `QUIT`                      — close this connection
   *
   * Scale notes: the daemon is a CONTROL plane — every command is one
@@ -118,6 +129,24 @@ class CatalogServer(
               case e: Exception => out.println(s"ERR ${errMsg(e)}")
             }
             line = in.readLine()
+          case Seq("GETB", g, prop, rest @ _*) =>
+            // failures BEFORE the `OK arrow` line reply ERR like GET; a
+            // failure mid-stream necessarily truncates the Arrow stream
+            // (the client's reader sees a framing error) — the same
+            // contract as a dropped Flight stream.
+            try {
+              val limit = rest.headOption.map(_.toLong)
+                .getOrElse(Long.MaxValue)
+              // readProperty throws here (unknown graph/property) —
+              // BEFORE the OK line, so protocol errors stay line-mode
+              val df = catalog.readProperty(spark, g, prop)
+              out.println("OK arrow")
+              out.flush()
+              streamArrowRows(df, limit, sock.getOutputStream)
+            } catch {
+              case e: Exception => out.println(s"ERR ${errMsg(e)}")
+            }
+            line = in.readLine()
           case Seq("") => line = in.readLine()
           case _ =>
             out.println(s"ERR unknown command: $line")
@@ -202,6 +231,92 @@ class CatalogServer(
       out.println((0 until row.length)
         .map(i => String.valueOf(row.get(i))).mkString("\t"))
       sent += 1
+    }
+  }
+
+  /** GETB body: the rows as an Arrow IPC stream in 10k-row record batches
+    * — the reference's RECORD_BATCH_SIZE do_get framing
+    * (crates/server/src/server.rs:34,70-107). Same pull-based memory
+    * contract as `streamRows` (toLocalIterator, one partition at a time,
+    * one 10k-row Arrow batch buffered). Long/int/double/boolean columns map
+    * to their native Arrow types (every property table the daemon serves is
+    * id + numeric lanes); anything else rides as utf8 of its string form.
+    */
+  private def streamArrowRows(
+      df: DataFrame, limit: Long, os: java.io.OutputStream): Unit = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+    import org.apache.spark.sql.types._
+
+    val sparkFields = df.schema.fields
+    val arrowFields = sparkFields.map { f =>
+      val t: ArrowType = f.dataType match {
+        case LongType => new ArrowType.Int(64, true)
+        case IntegerType => new ArrowType.Int(32, true)
+        case DoubleType =>
+          new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case BooleanType => ArrowType.Bool.INSTANCE
+        case _ => ArrowType.Utf8.INSTANCE
+      }
+      new Field(f.name, FieldType.nullable(t), null)
+    }
+    val schema = new Schema(java.util.Arrays.asList(arrowFields: _*))
+    val alloc = new RootAllocator()
+    val root = VectorSchemaRoot.create(schema, alloc)
+    // writer.close() must release Arrow buffers WITHOUT closing the socket
+    // (the connection returns to line mode after the EOS marker), so shield
+    // the stream from the channel's close
+    val shield = new java.io.FilterOutputStream(os) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        os.write(b, off, len)
+      override def close(): Unit = flush()
+    }
+    val writer = new ArrowStreamWriter(root, null,
+      java.nio.channels.Channels.newChannel(shield))
+    try {
+      writer.start()
+      val it = df.toLocalIterator()
+      var sent = 0L
+      val batchSize = 10000
+      while (it.hasNext && sent < limit) {
+        root.allocateNew()
+        var n = 0
+        while (it.hasNext && sent < limit && n < batchSize) {
+          val row = it.next()
+          var i = 0
+          while (i < sparkFields.length) {
+            val vec = root.getVector(i)
+            if (row.isNullAt(i)) vec match {
+              case v: BaseFixedWidthVector => v.setNull(n)
+              case v: VarCharVector => v.setNull(n)
+              case _ => ()
+            } else vec match {
+              case v: BigIntVector => v.setSafe(n, row.getLong(i))
+              case v: IntVector => v.setSafe(n, row.getInt(i))
+              case v: Float8Vector => v.setSafe(n, row.getDouble(i))
+              case v: BitVector =>
+                v.setSafe(n, if (row.getBoolean(i)) 1 else 0)
+              case v: VarCharVector =>
+                v.setSafe(n, String.valueOf(row.get(i)).getBytes("UTF-8"))
+              case _ => ()
+            }
+            i += 1
+          }
+          n += 1
+          sent += 1
+        }
+        root.setRowCount(n)
+        writer.writeBatch()
+      }
+      writer.end() // writes the IPC end-of-stream marker
+      os.flush()
+    } finally {
+      writer.close()
+      root.close()
+      alloc.close()
     }
   }
 }

@@ -153,4 +153,124 @@ class CatalogServerSpec extends SparkSpec {
       out2.println("QUIT"); sock2.close()
     } finally srv.close()
   }
+
+  test("GETB streams the property as a typed Arrow IPC stream") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, Float8Vector}
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-serve-arrow").toString
+    val cat = new GraphCatalog(new ParquetTableIO(s"$root/cat"))
+    Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "weight").write.parquet(s"$root/edges")
+
+    val srv = new CatalogServer(spark, cat)
+    try {
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      val rawIn = sock.getInputStream
+      val out = new PrintWriter(sock.getOutputStream, true)
+      // line reads MUST be unbuffered here: a BufferedReader would read
+      // ahead into the binary Arrow bytes that follow the OK line
+      def readLineRaw(): String = {
+        val sb = new StringBuilder
+        var c = rawIn.read()
+        while (c != -1 && c != '\n') { sb.append(c.toChar); c = rawIn.read() }
+        sb.toString
+      }
+
+      out.println(s"CREATE g $root/edges")
+      assert(readLineRaw() == "OK created")
+      out.println("COMPUTE g page_rank")
+      assert(readLineRaw() == "OK page_rank")
+
+      // protocol errors stay line-mode (no binary follows an ERR)
+      out.println("GETB g nope")
+      assert(readLineRaw().startsWith("ERR"))
+
+      out.println("GETB g page_rank")
+      assert(readLineRaw() == "OK arrow")
+      val alloc = new RootAllocator()
+      val reader = new ArrowStreamReader(rawIn, alloc)
+      val got = scala.collection.mutable.Map[Long, Double]()
+      while (reader.loadNextBatch()) {
+        val r = reader.getVectorSchemaRoot
+        assert(r.getSchema.getFields.get(0).getName == "id")
+        assert(r.getSchema.getFields.get(1).getName == "score")
+        val ids = r.getVector(0).asInstanceOf[BigIntVector]
+        val scores = r.getVector(1).asInstanceOf[Float8Vector]
+        (0 until r.getRowCount).foreach(i =>
+          got(ids.get(i)) = scores.get(i))
+      }
+      // close(false) releases Arrow buffers but keeps the socket stream
+      // open; the EOS marker has been consumed — line mode again
+      reader.close(false)
+      val tsv = {
+        out.println("GET g page_rank")
+        assert(readLineRaw() == "OK")
+        Iterator.continually(readLineRaw()).takeWhile(_ != ".").map { l =>
+          val Array(id, sc) = l.split("\t"); id.toLong -> sc.toDouble
+        }.toMap
+      }
+      assert(got.toMap == tsv, s"arrow=$got tsv=$tsv")
+      assert(got.size == 5)
+
+      // limit is honored in binary framing too
+      out.println("GETB g page_rank 2")
+      assert(readLineRaw() == "OK arrow")
+      val reader2 = new ArrowStreamReader(rawIn, alloc)
+      var n = 0
+      while (reader2.loadNextBatch())
+        n += reader2.getVectorSchemaRoot.getRowCount
+      assert(n == 2)
+      reader2.close(false)
+
+      out.println("QUIT")
+      assert(readLineRaw() == "OK bye")
+      sock.close()
+      alloc.close()
+    } finally srv.close()
+  }
+
+  test("stdlib Python client drives create -> compute -> get end-to-end") {
+    // tools/graft_client.py is the consumer-side analogue of the
+    // reference's Python bindings (crates/mate/graph_mate.pyi) over the
+    // line protocol — prove the protocol from a real second language with
+    // nothing but the Python standard library.
+    import scala.sys.process._
+    val s = spark
+    import s.implicits._
+    val script = new java.io.File("tools/graft_client.py").getAbsolutePath
+    assert(new java.io.File(script).isFile, s"client script missing: $script")
+
+    val root = Files.createTempDirectory("graft-pyclient").toString
+    val cat = new GraphCatalog(new ParquetTableIO(s"$root/cat"))
+    Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "weight").write.parquet(s"$root/edges")
+
+    val srv = new CatalogServer(spark, cat)
+    try {
+      val addr = s"127.0.0.1:${srv.boundPort}"
+      def run(args: String*): (Int, String) = {
+        val outBuf = new StringBuilder
+        val code = (Seq("python3", script, addr) ++ args)
+          .!(ProcessLogger(l => outBuf.append(l).append('\n'), _ => ()))
+        (code, outBuf.toString)
+      }
+      assert(run("create", "g", s"$root/edges") == ((0, "created\n")))
+      assert(run("compute", "g", "wcc") == ((0, "wcc\n")))
+      assert(run("list")._2 == "g\n")
+      assert(run("props", "g")._2 == "wcc\n")
+      val (code, got) = run("get", "g", "wcc")
+      assert(code == 0)
+      val comps = got.trim.split("\n").map { l =>
+        val Array(id, c) = l.split("\t"); id.toLong -> c.toLong
+      }.toMap
+      assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L))
+      // limit honored through the CLI too
+      assert(run("get", "g", "wcc", "2")._2.trim.split("\n").length == 2)
+      // ERR replies surface as a nonzero exit, not a hang or stack dump
+      assert(run("compute", "g", "nope")._1 != 0)
+    } finally srv.close()
+  }
 }

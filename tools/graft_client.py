@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Pure-stdlib Python client for the graft CatalogServer line protocol —
+the consumer-side analogue of the reference's Python bindings
+(/root/reference/crates/mate/graph_mate.pyi: load a graph, run an
+algorithm, read the per-node result), re-expressed over the daemon's
+socket protocol instead of in-process FFI (pyo3/numpy are unresolvable
+in this sandbox; the line protocol is the language-neutral surface).
+
+Protocol (see graft.server.CatalogServer): one text command per line;
+replies are ``OK ...`` / ``ERR ...`` and, for row-returning commands,
+TSV rows terminated by a lone ``.``.
+
+Library use::
+
+    with GraftClient("127.0.0.1", 4632) as c:
+        c.create("g", "/path/to/edges.parquet")
+        prop = c.compute("g", "wcc")      # -> "wcc"
+        rows = c.get("g", prop, limit=10) # -> [(0, 0), (1, 0), ...]
+
+CLI use (one command per invocation)::
+
+    graft_client.py HOST:PORT list
+    graft_client.py HOST:PORT props GRAPH
+    graft_client.py HOST:PORT create GRAPH PARQUET_PATH
+    graft_client.py HOST:PORT compute GRAPH ALGO
+    graft_client.py HOST:PORT get GRAPH PROP [LIMIT]
+"""
+import socket
+import sys
+
+
+class GraftError(RuntimeError):
+    """An ERR reply from the server (bad input, unknown graph/algo...)."""
+
+
+def _typed(field):
+    """TSV fields back to int/float/bool where they round-trip cleanly —
+    the reading a typed-array consumer (the pyo3 bindings return numpy
+    arrays) expects; everything else stays str."""
+    for conv in (int, float):
+        try:
+            return conv(field)
+        except ValueError:
+            pass
+    if field in ("true", "false"):
+        return field == "true"
+    return field
+
+
+class GraftClient:
+    def __init__(self, host, port, timeout=300.0):
+        self._sock = socket.create_connection((host, int(port)), timeout)
+        # buffered text views; writes flush per command
+        self._r = self._sock.makefile("r", encoding="utf-8", newline="\n")
+        self._w = self._sock.makefile("w", encoding="utf-8", newline="\n")
+
+    # -- protocol plumbing ------------------------------------------------
+    def _send(self, *parts):
+        self._w.write(" ".join(str(p) for p in parts) + "\n")
+        self._w.flush()
+
+    def _status(self):
+        """Read one OK/ERR line; raise on ERR; return the OK payload."""
+        line = self._r.readline()
+        if not line:
+            raise GraftError("connection closed by server")
+        line = line.rstrip("\n")
+        if line.startswith("ERR"):
+            raise GraftError(line[3:].strip())
+        if not line.startswith("OK"):
+            raise GraftError("malformed reply: " + line)
+        return line[2:].strip()
+
+    def _body(self):
+        """Read lines until the lone '.' terminator."""
+        rows = []
+        while True:
+            line = self._r.readline()
+            if not line:
+                raise GraftError("connection closed mid-stream")
+            line = line.rstrip("\n")
+            if line == ".":
+                return rows
+            rows.append(line)
+
+    # -- commands ----------------------------------------------------------
+    def list_graphs(self):
+        self._send("LIST")
+        self._status()
+        return self._body()
+
+    def props(self, graph):
+        self._send("PROPS", graph)
+        self._status()
+        return self._body()
+
+    def create(self, graph, parquet_path):
+        self._send("CREATE", graph, parquet_path)
+        self._status()
+
+    def compute(self, graph, algo):
+        """Run an algorithm server-side; returns the stored property name
+        (e.g. compute(g, "sssp:0") -> "sssp_0")."""
+        self._send("COMPUTE", graph, algo)
+        return self._status()
+
+    def get(self, graph, prop, limit=None):
+        """Stream a computed property as a list of typed tuples."""
+        args = ["GET", graph, prop] + ([limit] if limit is not None else [])
+        self._send(*args)
+        self._status()
+        return [tuple(_typed(f) for f in row.split("\t"))
+                for row in self._body()]
+
+    def quit(self):
+        try:
+            self._send("QUIT")
+            self._r.readline()  # "OK bye"
+        except OSError:
+            pass
+
+    def close(self):
+        self.quit()
+        self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def main(argv):
+    if len(argv) < 3:
+        sys.stderr.write(__doc__ + "\n")
+        return 2
+    host, _, port = argv[1].partition(":")
+    cmd, args = argv[2], argv[3:]
+    with GraftClient(host, port or 4632) as c:
+        if cmd == "list":
+            print("\n".join(c.list_graphs()))
+        elif cmd == "props":
+            print("\n".join(c.props(args[0])))
+        elif cmd == "create":
+            c.create(args[0], args[1])
+            print("created")
+        elif cmd == "compute":
+            print(c.compute(args[0], args[1]))
+        elif cmd == "get":
+            limit = int(args[2]) if len(args) > 2 else None
+            for row in c.get(args[0], args[1], limit):
+                print("\t".join(str(v) for v in row))
+        else:
+            sys.stderr.write("unknown command: %s\n" % cmd)
+            return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
