@@ -129,6 +129,9 @@ object PageRank {
           autoSalt(maxRows, totalRows, graph.numPartitions, cores)
         }
       }
+    if (sys.env.contains("GRAFT_PR_DEBUG"))
+      System.err.println(s"[pr] broadcast=$doBroadcast salt=$salt " +
+        s"cores=${spark.sparkContext.defaultParallelism}")
     // salt == 1 keeps the single-column join key: the composite (src, salt)
     // probe measured ~+35% CPU across the whole gather scan, so salting
     // only engages for graphs whose hub partitions actually dominate.
