@@ -90,13 +90,16 @@ object Scc {
     // must NOT claim when reachedFixedPoint is false).
     def propagateMin(verts: DataFrame,
         edges: DataFrame): (DataFrame, Boolean) = {
-      // Lazy chaining pays in shuffle mode (one fused job, exchanges
-      // reused) and on small edge sets; in broadcast mode over a LARGE
-      // edge set each nested broadcast build re-executes its subtree with
-      // no cross-build reuse — measured ~2^batch per action on WCC's
-      // identical round shape (Wcc.scala batch policy). rawEdgeCount
-      // bounds every restricted view.
-      val batch = if (!doBroadcast || rawEdgeCount <= 4000000L) 4 else 1
+      // Lazy chaining pays ONLY in shuffle mode (one fused job, exchanges
+      // reused); in broadcast mode each nested broadcast build re-executes
+      // its subtree with no cross-build reuse — ~2^batch per action, the
+      // same pathology WCC measured (Wcc.scala batch policy). Round 3
+      // exempted "small" (<= 4M-edge) broadcast sets from that rule; round
+      // 4 re-measured and the exemption was wrong at every scale tried
+      // (sf0.1 events: 7.8 s at batch=1 vs 19.6 s at batch=4 end-to-end).
+      val batch = sys.env.get("GRAFT_SCC_BATCH").map(_.toInt)
+        .orElse(Some(config.propagationBatch).filter(_ > 0))
+        .getOrElse(if (!doBroadcast) 4 else 1)
       // trivial lineage (projection over the checkpointed active set) —
       // no checkpoint needed before the first batch materializes
       var lbl = verts.select($"id", $"id".as("lbl"))

@@ -70,12 +70,18 @@ case class LabelPropagationConfig(
   * (label = min member id, mirroring the WCC contract, dss.rs:183-195).
   * `maxIterations` bounds outer trim+claim rounds (condensation depth);
   * `maxPropagationRounds` bounds each inner min-label fixed point in
-  * BATCHES of 4 lazily-chained rounds (worst case O(diameter) rounds;
-  * pointer jumping collapses decreasing-id chains).
+  * BATCHES of `propagationBatch` lazily-chained rounds (worst case
+  * O(diameter) rounds; pointer jumping collapses decreasing-id chains).
+  * `propagationBatch` -1 = auto: 4 chained rounds per action in shuffle
+  * mode (one fused job, exchanges reused), 1 in broadcast mode — nested
+  * broadcast builds re-execute their subtrees with no cross-build reuse,
+  * ~2^batch per action (the WCC batch policy; re-measured on SCC round 4:
+  * the sf0.1 events graph runs 7.8 s at batch=1 vs 19.6 s at batch=4).
   */
 case class SccConfig(
     maxIterations: Int = 100,
-    maxPropagationRounds: Int = 200)
+    maxPropagationRounds: Int = 200,
+    propagationBatch: Int = -1)
 
 /** `delta` mirrors the reference's DeltaSteppingConfig{start_node, delta}
   * (crates/algos/src/sssp.rs:21-41). Infinite delta (default) = plain

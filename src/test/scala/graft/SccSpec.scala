@@ -110,22 +110,26 @@ class SccSpec extends SparkSpec {
 
   test("capped propagation never claims from non-fixed-point labels") {
     // A 60-cycle whose min label moves ONE hop per backward round: with
-    // maxPropagationRounds=2 (2 batches x 4 chained rounds = 8 hops) the
-    // inner fixed point cannot complete. The sound behavior is to make NO
-    // claims and report converged=false — claiming from capped labels
-    // could split the SCC across roots while stats said converged=true
-    // (round-2 advice, Scc.scala propagateMin cap).
+    // maxPropagationRounds=2 and a pinned batch of 4 chained rounds
+    // (2 batches x 4 = 8 hops) the inner fixed point cannot complete. The
+    // sound behavior is to make NO claims and report converged=false —
+    // claiming from capped labels could split the SCC across roots while
+    // stats said converged=true (round-2 advice, Scc.scala propagateMin
+    // cap).
     val n = 60L
     val edges = (0L until n).map(v => (v, (v + 1) % n))
     val res = Scc.run(LinkGraph(edgesDF(edges)),
-      SccConfig(maxIterations = 5, maxPropagationRounds = 2))
+      SccConfig(maxIterations = 5, maxPropagationRounds = 2,
+        propagationBatch = 4))
     assert(!res.stats.converged,
       "capped propagation must not report convergence")
     val got = res.components.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n) // output stays total (fail-safe self labels)
-    // and with an adequate budget the same graph resolves exactly
-    val full = Scc.run(LinkGraph(edgesDF(edges)))
+    // and with an adequate budget the same graph resolves exactly (batch
+    // pinned to 4 so the 60 one-hop rounds stay a 15-action sequence)
+    val full = Scc.run(LinkGraph(edgesDF(edges)),
+      SccConfig(propagationBatch = 4))
     assert(full.stats.converged)
     assert(full.components.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
