@@ -271,6 +271,16 @@ class CatalogServerSpec extends SparkSpec {
       assert(run("get", "g", "wcc", "2")._2.trim.split("\n").length == 2)
       // ERR replies surface as a nonzero exit, not a hang or stack dump
       assert(run("compute", "g", "nope")._1 != 0)
+      // the optional-pyarrow binary lane returns the same rows as TSV
+      // (skipped cleanly if this interpreter lacks pyarrow)
+      val hasPyarrow =
+        Seq("python3", "-c", "import pyarrow.ipc").! == 0
+      if (hasPyarrow) {
+        val (bcode, brows) = run("getb", "g", "wcc")
+        assert(bcode == 0)
+        assert(brows.trim.split("\n").sorted.toSeq ==
+          got.trim.split("\n").sorted.toSeq, "getb rows != get rows")
+      } else info("pyarrow unavailable: binary-lane CLI case skipped")
     } finally srv.close()
   }
 }

@@ -24,6 +24,12 @@ CLI use (one command per invocation)::
     graft_client.py HOST:PORT create GRAPH PARQUET_PATH
     graft_client.py HOST:PORT compute GRAPH ALGO
     graft_client.py HOST:PORT get GRAPH PROP [LIMIT]
+    graft_client.py HOST:PORT getb GRAPH PROP [LIMIT]
+
+``getb``/``get_arrow`` consume the server's binary Arrow IPC stream
+(GETB) — the reference's typed RecordBatch framing — and need pyarrow;
+everything else is pure standard library (the same dependency split as
+the reference's Python surface: Arrow only on the bulk data plane).
 """
 import socket
 import sys
@@ -49,6 +55,8 @@ def _typed(field):
 
 class GraftClient:
     def __init__(self, host, port, timeout=300.0):
+        self._addr = (host, int(port))
+        self._timeout = timeout
         self._sock = socket.create_connection((host, int(port)), timeout)
         # buffered text views; writes flush per command
         self._r = self._sock.makefile("r", encoding="utf-8", newline="\n")
@@ -112,6 +120,42 @@ class GraftClient:
         return [tuple(_typed(f) for f in row.split("\t"))
                 for row in self._body()]
 
+    def get_arrow(self, graph, prop, limit=None):
+        """Stream a computed property as typed Arrow record batches and
+        return a ``pyarrow.Table``. This is the one OPTIONALLY-pyarrow
+        method — exactly the dependency split of the reference's Python
+        surface (Arrow for the bulk data plane); the control plane and
+        ``get()`` stay pure stdlib. The reader consumes the stream up to
+        its IPC end-of-stream marker, after which the connection is in
+        line mode again and reusable."""
+        try:
+            import pyarrow.ipc as pa_ipc
+        except ImportError as e:
+            raise GraftError(
+                "get_arrow requires pyarrow; use get() for TSV") from e
+        # dedicated connection per stream (the Flight-client shape): a
+        # buffered reader shared between line replies and the binary body
+        # could read ahead across the mode switch and lose bytes
+        args = ["GETB", graph, prop] + ([limit] if limit is not None else [])
+        s = socket.create_connection(self._addr, self._timeout)
+        try:
+            s.sendall((" ".join(str(p) for p in args) + "\n").encode())
+            line = b""
+            while not line.endswith(b"\n"):  # unbuffered status line
+                c = s.recv(1)
+                if not c:
+                    raise GraftError("connection closed by server")
+                line += c
+            status = line.decode("utf-8").rstrip()
+            if status.startswith("ERR"):
+                raise GraftError(status[3:].strip())
+            if status != "OK arrow":
+                raise GraftError("malformed reply: " + status)
+            with pa_ipc.open_stream(s.makefile("rb")) as reader:
+                return reader.read_all()
+        finally:
+            s.close()
+
     def quit(self):
         try:
             self._send("QUIT")
@@ -150,6 +194,11 @@ def main(argv):
             limit = int(args[2]) if len(args) > 2 else None
             for row in c.get(args[0], args[1], limit):
                 print("\t".join(str(v) for v in row))
+        elif cmd == "getb":
+            limit = int(args[2]) if len(args) > 2 else None
+            table = c.get_arrow(args[0], args[1], limit)
+            for row in table.to_pylist():
+                print("\t".join(str(row[k]) for k in table.column_names))
         else:
             sys.stderr.write("unknown command: %s\n" % cmd)
             return 2
