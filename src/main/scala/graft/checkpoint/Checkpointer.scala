@@ -105,13 +105,16 @@ object Checkpointer {
       : Option[(Meta, DataFrame)] = {
     val rootPath = Paths.get(root)
     if (!Files.isDirectory(rootPath)) return None
-    val candidates = Files.list(rootPath).toArray.toSeq
-      .map(_.asInstanceOf[Path])
+    val listing = Files.list(rootPath) // close the directory handle
+    val candidates =
+      try listing.toArray.toSeq.map(_.asInstanceOf[Path])
+      finally listing.close()
+    val ordered = candidates
       .filter(p => p.getFileName.toString.startsWith("ckpt-")
         && Files.exists(p.resolve("_meta.json")))
       .sortBy(_.getFileName.toString)
       .reverse
-    candidates.view.flatMap { p =>
+    ordered.view.flatMap { p =>
       Try {
         val meta = metaFromJson(Files.readString(p.resolve("_meta.json")))
         (meta, spark.read.parquet(p.resolve("state").toString))

@@ -153,18 +153,27 @@ class ParquetTableIO(root: String) extends TableIO {
     spark.read.parquet(paths: _*)
   }
 
+  // Files.list/walk return streams backed by an OPEN directory handle —
+  // close them deterministically: the serving daemon calls list() per LIST
+  // request, and unclosed handles leak fds until GC gets around to them.
   override def list(): Seq[String] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) Seq.empty
-    else Files.list(r).toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(p => Files.exists(p.resolve("_graft_meta.json")))
-      .map(_.getFileName.toString).sorted
+    else {
+      val s = Files.list(r)
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => Files.exists(p.resolve("_graft_meta.json")))
+        .map(_.getFileName.toString).sorted
+      finally s.close()
+    }
   }
 
   override def drop(name: String): Unit =
     if (Files.isDirectory(dir(name))) {
-      Files.walk(dir(name)).sorted(java.util.Comparator.reverseOrder())
+      val s = Files.walk(dir(name))
+      try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally s.close()
     }
 
   override def exists(name: String): Boolean = Files.exists(metaPath(name))
