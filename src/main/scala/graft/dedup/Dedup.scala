@@ -35,8 +35,15 @@ object Dedup {
     * Output (doc_id, canonical_id, group_size).
     */
   def exact(docs: DataFrame): DataFrame = {
-    val fp = docs.select(col("doc_id"),
-      TextAnalysis.fingerprint(col("text")).as("fp"))
+    // (doc_id, fp) is referenced twice (group + join-back); checkpoint the
+    // 40-byte-per-doc table once instead of md5-ing the corpus twice.
+    // checkpointNoStats (localCheckpoint) rather than persist(): its blocks
+    // are released by the ContextCleaner when the frame is GC'd, so a
+    // long-running caller (the serving daemon) cannot accumulate pinned
+    // caches from library internals.
+    val fp = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")))
     val groups = fp.groupBy(col("fp")).agg(
       min(col("doc_id")).as("canonical_id"),
       count(lit(1)).as("group_size"))
@@ -64,7 +71,13 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame, threshold: Double, k: Int = 3,
       maxShingleDf: Long = 0L): DataFrame = {
-    val sh = docShingles(docs, k)
+    // the shingle table is referenced up to 5 times below (dfreq, capped
+    // self-join sides, over-cap joins, sizes); without materialization each
+    // reference re-tokenizes and re-explodes the full corpus — measured 24
+    // parquet scans / 18 explode passes in the sibling minHashLsh plan
+    // before this checkpoint (PlanDump, round 4)
+    val sh = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      docShingles(docs, k))
     if (maxShingleDf <= 0) {
       // no cap: the capped self-join below IS the full exact computation
       val candidates = sh.as("a")
@@ -180,8 +193,16 @@ object Dedup {
     * engine-dependent rounding).
     */
   def minHashSignatures(
-      docs: DataFrame, numHashes: Int = 16, k: Int = 3): DataFrame = {
-    val sh = docShingles(docs, k)
+      docs: DataFrame, numHashes: Int = 16, k: Int = 3): DataFrame =
+    minHashSignaturesFrom(docShingles(docs, k), numHashes)
+
+  /** Signatures from an already-built (doc_id, shingle) table — lets
+    * minHashLsh share ONE materialized shingle pass between signatures and
+    * exact verification.
+    */
+  def minHashSignaturesFrom(
+      shingles: DataFrame, numHashes: Int = 16): DataFrame = {
+    val sh = shingles
       .select(col("doc_id"), PortableHash.phash(col("shingle")).as("h"))
     val lo = col("h").bitwiseAND(lit((1L << 30) - 1))
     val hi = shiftrightunsigned(col("h"), 30)
@@ -202,7 +223,16 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minHashSignatures(docs, numHashes, k)
+    // ONE tokenize+explode+distinct pass over the corpus, shared by the
+    // signature aggregation AND the exact-Jaccard verification tail; and
+    // ONE signature aggregation, referenced by banding + both est sides.
+    // Catalyst does not reuse these subtrees across their 4+ plan
+    // references (measured: 24 scans / 18 explodes per run without the
+    // checkpoints — at 100 TB that is 18 redundant full-corpus map passes).
+    val sh = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      docShingles(docs, k))
+    val sig = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      minHashSignaturesFrom(sh, numHashes))
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         PortableHash.phash(
@@ -227,8 +257,9 @@ object Dedup {
         (estCols.cast("double") / numHashes).as("est_jaccard"))
     // exact verification of candidate pairs ONLY — never the full pairwise
     // join (that would defeat LSH's sub-quadratic point at scale): join the
-    // candidate list back to the two shingle sets.
-    val verified = verifyJaccard(candidates, docShingles(docs, k))
+    // candidate list back to the two shingle sets (the SAME materialized
+    // pass the signatures aggregated).
+    val verified = verifyJaccard(candidates, sh)
     est.join(verified, Seq("doc_a", "doc_b"))
       .filter(col("jaccard") >= threshold)
   }
@@ -314,7 +345,10 @@ object Dedup {
     * maxHamming. Output (doc_a, doc_b, hamming).
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simHash(docs)
+    // both self-join sides reference the signature aggregation — without
+    // the checkpoint each side re-tokenizes and re-hashes the corpus
+    val sig = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      simHash(docs))
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 15)
@@ -347,9 +381,13 @@ object Dedup {
     import graft.sim.Similarity
     import graft.sim.Similarity.{cosine, withNorm, quantize, lshBucket}
     val d = if (dims > 0) dims else Similarity.embedDims(embeddings)
-    val e = withNorm(embeddings)
-      .withColumn("q", quantize(col("emb_d")))
-      .persist()
+    // checkpointNoStats, NOT persist(): referenced by the banding plus both
+    // verification sides, and a bare persist from a library internal is
+    // never unpersisted — in a long-running process (the serving daemon)
+    // those CacheManager entries accumulate; localCheckpoint blocks are
+    // GC-reclaimed with the frame
+    val e = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      withNorm(embeddings).withColumn("q", quantize(col("emb_d"))))
     val banded = e.select(col("vec_id"),
       posexplode(array((0 until numTables).map(t =>
         lshBucket(col("q"), d, numPlanes, t)): _*))
