@@ -237,9 +237,14 @@ object PageRank {
         // sequence into one job; truncate lineage every few rounds to keep
         // planning cheap. This removes all per-superstep job/materialization
         // overhead — the difference between anti-scaling and scaling on the
-        // throughput bench.
+        // throughput bench. SHUFFLE MODE ONLY: in broadcast mode each
+        // nested broadcast(senders) build re-executes its lazy subtree with
+        // no cross-build reuse (~2^k per action — the Wcc/LP batch policy,
+        // BASELINE.md), so broadcast-mode supersteps materialize one per
+        // action like LP's fused mode does.
         state =
-          if ((iteration + 1) % 5 == 0) next.localCheckpoint()
+          if (doBroadcast || (iteration + 1) % 5 == 0)
+            next.localCheckpoint()
           else next
       }
       iteration += 1
