@@ -14,22 +14,25 @@ import org.apache.spark.sql.functions._
 object DistributedRank {
 
   /** Returns `df` plus a `rankCol` long column = 0-based position in the
-    * `order` sort. Materializes (persists) an intermediate; callers doing
-    * repeated lookups should persist the result themselves.
+    * `order` sort. Materializes an intermediate (eager localCheckpoint —
+    * the offset collect and the returned join MUST read one materialization
+    * of the partition-local indices; blocks are GC-reclaimed with the
+    * frame, so library callers in a long-running process accumulate no
+    * CacheManager entries). Callers doing repeated lookups should persist
+    * the result themselves.
     */
   def withDenseRank(
       df: DataFrame, order: Seq[Column], numPartitions: Int,
       rankCol: String): DataFrame = {
     val spark = df.sparkSession
-    val ranked = df
+    val ranked = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(df
       .repartitionByRange(numPartitions, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       // monotonically_increasing_id = (pid << 33) + row-index-in-partition,
       // evaluated in the sorted per-partition order -> the local rank.
       .withColumn("__local",
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-      .persist()
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))))
     val counts = ranked.groupBy(col("__pid")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until numPartitions)
