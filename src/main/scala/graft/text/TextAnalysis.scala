@@ -32,11 +32,9 @@ object TextAnalysis {
   private val DE = Seq("der", "die", "das", "und", "ist")
   private val FR = Seq("le", "la", "les", "et", "est")
 
-  private def markerCount(c: Column, markers: Seq[String]): Column = {
-    val set = markers.map(m => s"'$m'").mkString("(", ",", ")")
+  private def markerCount(c: Column, markers: Seq[String]): Column =
     size(filter(tokens(c), t => t.isin(markers.map(lit(_)): _*)))
       .cast("long")
-  }
 
   /** stopword (EN marker) ratio over tokens */
   def stopwordRatio(c: Column): Column =
