@@ -56,6 +56,20 @@ object DedupScale {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"op":"minhash","docs":${docs.count()},""" +
           f""""pairs":$pairs,"sec":$sec%.2f}""")
+      case "dupgroups" =>
+        // full keep-one-per-cluster path: LSH pairs + sparse-WCC closure +
+        // singleton union — the end-to-end corpus-dedup job
+        val docs = spark.read.parquet(path)
+        val t0 = System.nanoTime()
+        val g = graft.dedup.Dedup.dupGroups(docs, 0.5)
+        val (rows, dups) = {
+          val r = g.agg(count(lit(1)),
+            count(when(col("group_size") > 1, 1))).first()
+          (r.getLong(0), r.getLong(1))
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"dupgroups","docs":$rows,""" +
+          f""""docs_in_dup_groups":$dups,"sec":$sec%.2f}""")
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
