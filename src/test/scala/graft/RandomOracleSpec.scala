@@ -128,6 +128,22 @@ class RandomOracleSpec extends SparkSpec {
     assert(!Wcc.run(g(), capped).stats.converged)
   }
 
+  test("auto contraction with an EMPTY label-class graph converges exactly") {
+    // chain 3-2-1-0: after round 2 only vertex 3 changed (to the final
+    // label 0) while every edge is already intra-class, so the contracted
+    // graph has ZERO vertices — the recursion must handle the empty sparse
+    // graph and the composition must be the identity. Observed live on the
+    // 448M-edge graph (19 movers, empty class graph, BASELINE.md); this
+    // pins the path deterministically.
+    val chain = Seq((3L, 2L), (2L, 1L), (1L, 0L))
+    val res = Wcc.run(LinkGraph(edgesDF(chain)), WccConfig(),
+      autoContractMinState = 1L)
+    assert(res.stats.converged)
+    val got = res.components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("auto-engagement rule: round, size floor, work-remaining") {
     import Wcc.autoEngage
     assert(!autoEngage(1, 1000000L, 1000000L, 100000L)) // before round 2
