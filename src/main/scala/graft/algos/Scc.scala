@@ -104,11 +104,18 @@ object Scc {
       // no checkpoint needed before the first batch materializes
       var lbl = verts.select($"id", $"id".as("lbl"))
       var changed = Long.MaxValue
+      var rounds = 0
       var batches = 0
-      while (changed > 0 && batches < config.maxPropagationRounds) {
+      while (changed > 0 && rounds < config.maxPropagationRounds) {
+        // the budget counts ROUNDS (min-label hops), not batches — so the
+        // mode-dependent batch size (4 in shuffle, 1 in broadcast) cannot
+        // silently scale the effective hop budget 4x between modes
+        // (round-4 advice: the batch default dropping 4 -> 1 shrank the
+        // broadcast-mode budget from 800 to 200 hops unannounced)
+        val thisBatch = math.min(batch, config.maxPropagationRounds - rounds)
         val start = lbl.select($"id", $"lbl".as("prev"))
         var cur = lbl
-        for (i <- 0 until batch) {
+        for (i <- 0 until thisBatch) {
           val nbrMin = edges
             .join(maybeBroadcast(cur), edges("src") === cur("id"))
             .groupBy(edges("dst").as("id"))
@@ -131,6 +138,7 @@ object Scc {
           .transform(StatsReset.checkpointNoStats)
         changed = stepped.filter($"chg").count()
         lbl = stepped.select($"id", $"lbl")
+        rounds += thisBatch
         batches += 1
         if (debug) {
           val sz = lbl.queryExecution.optimizedPlan.stats.sizeInBytes

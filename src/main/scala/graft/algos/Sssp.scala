@@ -89,7 +89,87 @@ object Sssp {
       } else 0L
     var done = false
 
-    while (!done && iteration < config.maxIterations) {
+    // One relax round as a lazy transform over `cur` (unique aliases so
+    // rounds can nest when chained): cand(w) = min over in-band frontier
+    // edges (v,w) of dist(v)+weight; pending' = newly improved, plus
+    // pending vertices beyond the band that were not relaxed this round.
+    def relaxRound(cur: DataFrame, threshold: Double, i: Int): DataFrame = {
+      val frontier = cur.filter($"pending" && $"dist" < threshold)
+        .select($"id", $"dist")
+      val cand = edges
+        .join(maybeBroadcast(frontier), edges("src") === frontier("id"))
+        .groupBy(edges("dst").as("id"))
+        .agg(min($"dist" + $"weight").as("cand"))
+      val d = s"d$i"; val c = s"c$i"
+      cur.as(d).join(maybeBroadcast(cand).as(c), Seq("id"), "full")
+        .select($"id",
+          least(coalesce(col(s"$d.dist"), lit(Double.PositiveInfinity)),
+            coalesce(col(s"$c.cand"), lit(Double.PositiveInfinity)))
+            .as("dist"),
+          ((col(s"$c.cand").isNotNull &&
+            (col(s"$d.dist").isNull ||
+              col(s"$c.cand") < col(s"$d.dist"))) ||
+            (coalesce(col(s"$d.pending"), lit(false)) &&
+              col(s"$d.dist") >= threshold)).as("pending"))
+    }
+
+    // Round batching (round-4 verdict #4 — SSSP was the one iterative
+    // algorithm still paying two driver-action floors per round): with
+    // infinite delta, run `batch` relax rounds per convergence probe.
+    // Min-plus relaxation past frontier exhaustion is a no-op, so the
+    // batch reaches the identical fixed point; the probe only decides
+    // WHEN to stop, never what is computed. Materialization is
+    // mode-aware, exactly the WCC/LP/SCC/PR batch policy:
+    //  - SHUFFLE mode chains the rounds LAZILY into one fused job
+    //    (ReuseExchange dedupes the repeated subtrees);
+    //  - BROADCAST mode materializes EVERY round (nested broadcast builds
+    //    re-execute their lazy subtrees with no cross-build reuse — the
+    //    measured ~2^batch pathology) but still amortizes the probe
+    //    action over the batch.
+    // A FINITE delta keeps per-round probes: the band-advance decision is
+    // a driver-side branch that cannot be chained lazily.
+    val batch =
+      if (deltaFinite) 1 // banded schedule is inherently probe-per-round
+      else sys.env.get("GRAFT_SSSP_BATCH").map(_.toInt)
+        .orElse(Some(config.roundBatch).filter(_ > 0))
+        .getOrElse(4)
+
+    if (batch > 1) {
+      while (!done && iteration < config.maxIterations) {
+        // clamp each batch to the next checkpoint boundary so the durable
+        // cadence stays EXACTLY checkpointEvery (a free-running batch
+        // would only hit lcm(batch, every) multiples — stretching the
+        // resume-loss window silently)
+        val rounds = {
+          val r = math.min(batch, config.maxIterations - iteration)
+          if (checkpointDir.isDefined)
+            math.min(r, checkpointEvery - (iteration % checkpointEvery))
+          else r
+        }
+        var cur = state
+        for (i <- 0 until rounds) {
+          cur = relaxRound(cur, Double.PositiveInfinity, i)
+          // eager localCheckpoint truncates plan lineage (SURVEY.md
+          // §7.4-5): per round in broadcast mode, once per batch in
+          // shuffle mode
+          if (doBroadcast || i == rounds - 1)
+            cur = cur.transform(StatsReset.checkpointNoStats)
+        }
+        state = cur
+        iteration += rounds
+        // ONE probe action per BATCH over the materialized state: any
+        // vertex still pending means another batch is needed.
+        done = state.agg(count(when($"pending", 1)))
+          .first().getLong(0) == 0L
+        if (checkpointDir.isDefined && !done
+            && iteration % checkpointEvery == 0
+            && iteration < config.maxIterations) {
+          state = graft.checkpoint.Checkpointer.write(checkpointDir.get,
+            "sssp", iteration, 0.0, state, fingerprint)
+            .transform(StatsReset.checkpointNoStats)
+        }
+      }
+    } else while (!done && iteration < config.maxIterations) {
       val threshold =
         if (deltaFinite) (bucket + 1) * config.delta
         else Double.PositiveInfinity
@@ -107,25 +187,10 @@ object Sssp {
         else bucket =
           math.floor(probe.getDouble(1) / config.delta).toLong
       } else {
-        val frontier = state.filter($"pending" && $"dist" < threshold)
-          .select($"id", $"dist")
-        val cand = edges
-          .join(maybeBroadcast(frontier), edges("src") === frontier("id"))
-          .groupBy(edges("dst").as("id"))
-          .agg(min($"dist" + $"weight").as("cand"))
         // eager localCheckpoint truncates the per-round plan lineage
         // (SURVEY.md §7.4-5); frontier/dist are cheap views over the cached
-        // RDD. pending' = newly improved, plus pending vertices beyond the
-        // band that were not relaxed this round.
-        state = state.as("d").join(maybeBroadcast(cand).as("c"),
-            Seq("id"), "full")
-          .select($"id",
-            least(coalesce($"d.dist", lit(Double.PositiveInfinity)),
-              coalesce($"c.cand", lit(Double.PositiveInfinity))).as("dist"),
-            (($"c.cand".isNotNull &&
-              ($"d.dist".isNull || $"c.cand" < $"d.dist")) ||
-              (coalesce($"d.pending", lit(false)) &&
-                $"d.dist" >= threshold)).as("pending"))
+        // RDD.
+        state = relaxRound(state, threshold, 0)
           .transform(StatsReset.checkpointNoStats)
         iteration += 1
         // skip the write when the loop is about to terminate on the

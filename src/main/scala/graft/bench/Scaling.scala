@@ -209,22 +209,39 @@ object Pair {
     *   session pair and again after every retry session — callers that
     *   persist results (Bench) stay crash/timeout-safe: the artifact always
     *   carries the latest completed measurement instead of nothing.
+    * @param timeLeftS remaining wall-clock budget in seconds (round-4
+    *   verdict #1: the driver killed a run mid-retry after ~38 min). A
+    *   retry/recheck session only STARTS when the budget still fits the
+    *   cost of the last completed session on that master (x1.15 noise
+    *   headroom) — the initial N/4N pair is always measured (without it
+    *   there is no result at all). Default: unbounded.
     */
   def run(path: String, specN: String, spec4N: String, supersteps: Int,
       broadcastState: Boolean, timedRuns: Int = 5,
       recheck: Boolean = true, parts: Int = -1,
       retryBelow: Double = 0.0, maxRetryPairs: Int = 1,
+      timeLeftS: () => Double = () => Double.MaxValue,
       onUpdate: Result => Unit = _ => ()): Result = {
     val (mN, cN) = master(specN)
     val (m4, c4) = master(spec4N)
     require(c4 == 4 * cN, s"$spec4N is not 4x $specN")
-    var bestN = Scaling.measureSamples(path, mN, cN, supersteps,
-      broadcastState, timedRuns, parts).min
-    var best4 = Scaling.measureSamples(path, m4, c4, supersteps,
-      broadcastState, timedRuns, parts).min
-    var sN2 =
-      if (recheck) Scaling.measureSamples(path, mN, cN, supersteps,
+    // wall-clock cost of the last completed session per master, feeding
+    // the fits() budget check before each optional session
+    var costN = 0.0
+    var cost4 = 0.0
+    def timedSession(m: String, c: Int): Double = {
+      val s0 = System.nanoTime()
+      val r = Scaling.measureSamples(path, m, c, supersteps,
         broadcastState, timedRuns, parts).min
+      val dur = (System.nanoTime() - s0) / 1e9
+      if (m == mN) costN = dur else cost4 = dur
+      r
+    }
+    def fits(cost: Double): Boolean = timeLeftS() > cost * 1.15
+    var bestN = timedSession(mN, cN)
+    var best4 = timedSession(m4, c4)
+    var sN2 =
+      if (recheck && fits(costN)) timedSession(mN, cN)
       else bestN
     bestN = math.min(bestN, sN2)
     val edges = Scaling.lastEdges
@@ -242,21 +259,20 @@ object Pair {
     // still misses, the N session re-measures too, keeping the estimate
     // honest in both directions.
     def remeasureN(): Unit = {
-      val sN3 = Scaling.measureSamples(path, mN, cN, supersteps,
-        broadcastState, timedRuns, parts).min
+      val sN3 = timedSession(mN, cN)
       sN2 = math.min(sN2, sN3)
       bestN = math.min(bestN, sN3)
       onUpdate(snapshot())
     }
     def remeasure4(): Unit = {
-      best4 = math.min(best4, Scaling.measureSamples(path, m4, c4,
-        supersteps, broadcastState, timedRuns, parts).min)
+      best4 = math.min(best4, timedSession(m4, c4))
       onUpdate(snapshot())
     }
     var retries = 0
-    while (retryBelow > 0 && eff < retryBelow && retries < maxRetryPairs) {
+    while (retryBelow > 0 && eff < retryBelow && retries < maxRetryPairs
+        && fits(cost4)) {
       remeasure4()
-      if (eff < retryBelow) remeasureN()
+      if (eff < retryBelow && fits(costN)) remeasureN()
       retries += 1
     }
     // Honesty recheck: additive noise on the N side INFLATES efficiency
@@ -265,11 +281,11 @@ object Pair {
     // once (min can only LOWER eff — the anti-fabrication direction); if
     // the fairer N drops the estimate back under the gate, resume retrying
     // within the remaining budget.
-    if (retryBelow > 0 && retries > 0 && eff >= retryBelow) {
+    if (retryBelow > 0 && retries > 0 && eff >= retryBelow && fits(costN)) {
       remeasureN()
-      while (eff < retryBelow && retries < maxRetryPairs) {
+      while (eff < retryBelow && retries < maxRetryPairs && fits(cost4)) {
         remeasure4()
-        if (eff < retryBelow) remeasureN()
+        if (eff < retryBelow && fits(costN)) remeasureN()
         retries += 1
       }
     }

@@ -62,9 +62,19 @@ class ParquetTableIO(root: String) extends TableIO {
       name: String, snapshot: Long, rows: Long, dirs: Seq[String]): Unit = {
     Files.createDirectories(dir(name))
     val dirsJson = dirs.map(d => s""""$d"""").mkString("[", ",", "]")
-    Files.writeString(metaPath(name),
+    // Write-to-temp + ATOMIC_MOVE, never truncate-in-place (round-4
+    // advice): the serving daemon runs GET/LIST fully concurrent with
+    // COMPUTE's writeProperty, and a reader racing a plain writeString
+    // could observe an empty or half-written sidecar. Same-directory move,
+    // so the rename is atomic on every POSIX filesystem; readers see the
+    // old manifest or the new one, nothing in between.
+    val tmp = dir(name).resolve(s"._graft_meta.$snapshot.tmp")
+    Files.writeString(tmp,
       s"""{"name":"$name","snapshot":$snapshot,"rows":$rows,""" +
         s""""dirs":$dirsJson}""")
+    Files.move(tmp, metaPath(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   override def write(name: String, df: DataFrame): Unit = {

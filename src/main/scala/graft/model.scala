@@ -70,8 +70,12 @@ case class LabelPropagationConfig(
   * (label = min member id, mirroring the WCC contract, dss.rs:183-195).
   * `maxIterations` bounds outer trim+claim rounds (condensation depth);
   * `maxPropagationRounds` bounds each inner min-label fixed point in
-  * BATCHES of `propagationBatch` lazily-chained rounds (worst case
-  * O(diameter) rounds; pointer jumping collapses decreasing-id chains).
+  * ROUNDS (min-label hops — worst case O(diameter); pointer jumping
+  * collapses decreasing-id chains), independent of how rounds are grouped
+  * into actions: round-4 advice flagged that a batch-counted budget let
+  * the mode-dependent batch size silently scale the effective hop budget
+  * 4x between modes. The default (800) preserves the historical
+  * shuffle-mode budget (200 batches x 4 rounds).
   * `propagationBatch` -1 = auto: 4 chained rounds per action in shuffle
   * mode (one fused job, exchanges reused), 1 in broadcast mode — nested
   * broadcast builds re-execute their subtrees with no cross-build reuse,
@@ -80,7 +84,7 @@ case class LabelPropagationConfig(
   */
 case class SccConfig(
     maxIterations: Int = 100,
-    maxPropagationRounds: Int = 200,
+    maxPropagationRounds: Int = 800,
     propagationBatch: Int = -1)
 
 /** `delta` mirrors the reference's DeltaSteppingConfig{start_node, delta}
@@ -89,11 +93,20 @@ case class SccConfig(
   * a finite delta batches the frontier into distance bands
   * [b*delta, (b+1)*delta) — same min-plus fixed point, fewer wasted
   * relaxations on high-diameter weighted graphs.
+  *
+  * `roundBatch` -1 = auto: with infinite delta, 4 relax rounds per
+  * convergence-probe action (lazily fused in shuffle mode, materialized
+  * per round in broadcast mode — the WCC/LP/SCC batch policy); finite
+  * delta always probes per round (the band advance is a driver-side
+  * decision). Min-plus relaxation past frontier exhaustion is a no-op, so
+  * any batch size reaches the identical fixed point; only the reported
+  * iteration count may round up to the probe boundary.
   */
 case class SsspConfig(
     startNode: Long,
     maxIterations: Int = 500,
-    delta: Double = Double.PositiveInfinity)
+    delta: Double = Double.PositiveInfinity,
+    roundBatch: Int = -1)
 
 /** Result bundles: scores plus convergence metrics, mirroring the reference's
   * (Vec<f32>, iterations, error) return (page_rank.rs:58-61).

@@ -24,7 +24,22 @@ import java.util.concurrent.atomic.AtomicBoolean
   *                                  as a named property (do_action compute
   *                                  dispatch, server.rs:187-258); algo in
   *                                  {page_rank, wcc, scc, label_propagation,
-  *                                  degrees, sssp:<start>}
+  *                                  degrees, triangle_count_local,
+  *                                  sssp:<start>}. `triangle_count` is the
+  *                                  one SCALAR compute: it stores nothing
+  *                                  and replies with the reference's
+  *                                  TriangleCountResult metrics struct
+  *                                  `OK {"triangle_count":..,
+  *                                  "compute_millis":..}` (server.rs:
+  *                                  461-474)
+  *  - `TO_UNDIRECTED <graph>`     — replace the graph with its undirected
+  *                                  form in place, reply the reference's
+  *                                  `{"to_undirected_millis":..}` struct
+  *                                  (do_action, server.rs:369-407)
+  *  - `TO_RELABELED <graph>`      — replace the graph with its
+  *                                  degree-descending relabeled form,
+  *                                  reply `{"to_relabeled_millis":..}`
+  *                                  (server.rs:341-368)
   *  - `GET <graph> <prop> [n]`    — stream the property rows, batched
   *                                  through toLocalIterator so the driver
   *                                  never holds the full result (do_get's
@@ -109,9 +124,15 @@ class CatalogServer(
             line = in.readLine()
           case Seq("COMPUTE", g, algo) =>
             reply(out) {
-              val prop = compute(g, algo)
-              s"OK $prop"
+              val payload = compute(g, algo)
+              s"OK $payload"
             }
+            line = in.readLine()
+          case Seq("TO_UNDIRECTED", g) =>
+            reply(out) { s"OK ${transform(g, "to_undirected")}" }
+            line = in.readLine()
+          case Seq("TO_RELABELED", g) =>
+            reply(out) { s"OK ${transform(g, "to_relabeled")}" }
             line = in.readLine()
           case Seq("GET", g, prop, rest @ _*) =>
             // the limit parses INSIDE the try: a malformed argument
@@ -131,9 +152,13 @@ class CatalogServer(
             line = in.readLine()
           case Seq("GETB", g, prop, rest @ _*) =>
             // failures BEFORE the `OK arrow` line reply ERR like GET; a
-            // failure mid-stream necessarily truncates the Arrow stream
-            // (the client's reader sees a framing error) — the same
-            // contract as a dropped Flight stream.
+            // failure AFTER streaming began necessarily truncates the
+            // Arrow stream, and the only honest signal is closing the
+            // connection (the dropped-Flight-stream contract) — printing
+            // a line-mode ERR into the middle of a binary IPC stream
+            // would leave the client parsing garbage on a permanently
+            // desynced connection (round-4 advice).
+            var streaming = false
             try {
               val limit = rest.headOption.map(_.toLong)
                 .getOrElse(Long.MaxValue)
@@ -142,11 +167,16 @@ class CatalogServer(
               val df = catalog.readProperty(spark, g, prop)
               out.println("OK arrow")
               out.flush()
+              streaming = true
               streamArrowRows(df, limit, sock.getOutputStream)
+              line = in.readLine()
             } catch {
-              case e: Exception => out.println(s"ERR ${errMsg(e)}")
+              case e: Exception if !streaming =>
+                out.println(s"ERR ${errMsg(e)}")
+                line = in.readLine()
+              case _: Exception =>
+                sock.close(); line = null
             }
-            line = in.readLine()
           case Seq("") => line = in.readLine()
           case _ =>
             out.println(s"ERR unknown command: $line")
@@ -190,10 +220,53 @@ class CatalogServer(
     * that is needed, so the finally-block unpersists exactly the RDD ids
     * this call created — N COMPUTEs pin one compute's working set, not N.
     */
-  private def compute(g: String, algo: String): String = mutate.synchronized {
+  /** Run `body` with the mutation lock held and, in a finally, unpersist
+    * exactly the RDD ids the call created (the per-call delta sweep —
+    * scaladoc on [[compute]]).
+    */
+  private def sweeping[A](body: => A): A = mutate.synchronized {
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    try {
-      val graph = catalog.graph(spark, g)
+    try body
+    finally {
+      val after = spark.sparkContext.getPersistentRDDs
+      after.keySet.filterNot(before).foreach(id =>
+        after.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  /** Graph-transform actions, the reference's to_undirected /
+    * to_relabeled do_action pair (crates/server/src/server.rs:341-407):
+    * the catalog entry is REPLACED in place — a new edge-table snapshot
+    * commits under the same name, exactly how the reference swaps the
+    * CSR in its catalog slot — and the reply carries the
+    * `{"<kind>_millis":..}` timing struct the reference returns.
+    * Previously computed properties keep their old-id snapshots (the
+    * reference's PropertyStore is likewise not invalidated); recompute
+    * after relabeling.
+    */
+  private def transform(g: String, kind: String): String = sweeping {
+    val graph = catalog.graph(spark, g)
+    val t0 = System.nanoTime()
+    val transformed = kind match {
+      case "to_undirected" => graph.toUndirectedGraph.edges
+      case "to_relabeled" => graph.relabeledByDegree.edges
+    }
+    catalog.create(g, transformed)
+    s"""{"${kind}_millis":${(System.nanoTime() - t0) / 1000000}}"""
+  }
+
+  private def compute(g: String, algo: String): String = sweeping {
+    val graph = catalog.graph(spark, g)
+    // scalar triangle count mirrors the reference's TriangleCountResult
+    // reply — a metrics struct, not a stored property (server.rs:461-474);
+    // the per-vertex variant lands as a property like every other
+    // algorithm.
+    if (algo == "triangle_count") {
+      val t0 = System.nanoTime()
+      val n = graft.algos.TriangleCount.run(graph)
+      s"""{"triangle_count":$n,""" +
+        s""""compute_millis":${(System.nanoTime() - t0) / 1000000}}"""
+    } else {
       val (prop, df: DataFrame) = algo match {
         case "page_rank" =>
           "page_rank" -> graft.algos.PageRank.run(graph).scores
@@ -205,6 +278,8 @@ class CatalogServer(
           "label_propagation" ->
             graft.algos.LabelPropagation.run(graph).labels
         case "degrees" => "degrees" -> graph.degrees
+        case "triangle_count_local" =>
+          "triangles" -> graft.algos.TriangleCount.perVertex(graph)
         case s if s.startsWith("sssp:") =>
           val start = s.stripPrefix("sssp:").toLong
           s"sssp_$start" ->
@@ -214,10 +289,6 @@ class CatalogServer(
       }
       catalog.writeProperty(g, prop, df)
       prop
-    } finally {
-      val after = spark.sparkContext.getPersistentRDDs
-      (after.keySet -- before).foreach(id =>
-        after.get(id).foreach(_.unpersist(blocking = false)))
     }
   }
 

@@ -21,6 +21,21 @@ class AlgoVariantsSpec extends SparkSpec {
     assert(inf == banded)
   }
 
+  test("SSSP batched relax rounds == unbatched, both modes (exact)") {
+    // round-4 verdict #4: infinite-delta rounds now run `roundBatch` per
+    // convergence-probe action. Min-plus past frontier exhaustion is a
+    // no-op, so distances must be bit-identical to probe-per-round runs —
+    // in broadcast mode (per-round materialization, amortized probe) AND
+    // shuffle mode (lazily fused batch).
+    def dist(cfg: SsspConfig, bv: Long) =
+      Sssp.run(g, cfg, broadcastVertices = bv).distances.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val unbatched = dist(SsspConfig(0L, roundBatch = 1), 5000000L)
+    assert(dist(SsspConfig(0L), 5000000L) == unbatched) // broadcast, auto=4
+    assert(dist(SsspConfig(0L), 0L) == unbatched) // shuffle, auto=4
+    assert(dist(SsspConfig(0L, roundBatch = 1), 0L) == unbatched)
+  }
+
   test("SSSP relaxation rounds stay within the oracle's 12-step unroll") {
     // the driver oracle (SparkEntry.ssspSql) unrolls exactly 12 rounds; the
     // engine's round count IS the data's relaxation depth, so this pins the

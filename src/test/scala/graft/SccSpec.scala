@@ -110,8 +110,9 @@ class SccSpec extends SparkSpec {
 
   test("capped propagation never claims from non-fixed-point labels") {
     // A 60-cycle whose min label moves ONE hop per backward round: with
-    // maxPropagationRounds=2 and a pinned batch of 4 chained rounds
-    // (2 batches x 4 = 8 hops) the inner fixed point cannot complete. The
+    // maxPropagationRounds=2 (the budget counts ROUNDS — two min-label
+    // hops, batch-size independent) the inner fixed point cannot complete.
+    // The
     // sound behavior is to make NO claims and report converged=false —
     // claiming from capped labels could split the SCC across roots while
     // stats said converged=true (round-2 advice, Scc.scala propagateMin

@@ -23,6 +23,8 @@ CLI use (one command per invocation)::
     graft_client.py HOST:PORT props GRAPH
     graft_client.py HOST:PORT create GRAPH PARQUET_PATH
     graft_client.py HOST:PORT compute GRAPH ALGO
+    graft_client.py HOST:PORT to_undirected GRAPH
+    graft_client.py HOST:PORT to_relabeled GRAPH
     graft_client.py HOST:PORT get GRAPH PROP [LIMIT]
     graft_client.py HOST:PORT getb GRAPH PROP [LIMIT]
 
@@ -108,8 +110,25 @@ class GraftClient:
 
     def compute(self, graph, algo):
         """Run an algorithm server-side; returns the stored property name
-        (e.g. compute(g, "sssp:0") -> "sssp_0")."""
+        (e.g. compute(g, "sssp:0") -> "sssp_0"). The one scalar algo,
+        ``triangle_count``, stores nothing and returns the reference's
+        TriangleCountResult metrics struct as a JSON string
+        ('{"triangle_count":..,"compute_millis":..}')."""
         self._send("COMPUTE", graph, algo)
+        return self._status()
+
+    def to_undirected(self, graph):
+        """Replace the graph with its undirected form in place (the
+        reference's to_undirected do_action); returns the
+        '{"to_undirected_millis":..}' timing struct."""
+        self._send("TO_UNDIRECTED", graph)
+        return self._status()
+
+    def to_relabeled(self, graph):
+        """Replace the graph with its degree-descending relabeled form in
+        place (the reference's to_relabeled do_action); returns the
+        '{"to_relabeled_millis":..}' timing struct."""
+        self._send("TO_RELABELED", graph)
         return self._status()
 
     def get(self, graph, prop, limit=None):
@@ -190,6 +209,10 @@ def main(argv):
             print("created")
         elif cmd == "compute":
             print(c.compute(args[0], args[1]))
+        elif cmd == "to_undirected":
+            print(c.to_undirected(args[0]))
+        elif cmd == "to_relabeled":
+            print(c.to_relabeled(args[0]))
         elif cmd == "get":
             limit = int(args[2]) if len(args) > 2 else None
             for row in c.get(args[0], args[1], limit):
