@@ -251,15 +251,26 @@ object Wcc {
           // class labels are sparse in the id space — never densify
           sparseVertices = true,
           autoContractMinState = autoContractMinState)
-        val composed = comp
+        val composed0 = comp
           .join(maybeBroadcast(sub.components
             .select($"id".as("comp"), $"comp".as("fin"))), Seq("comp"),
             "left")
           .select($"id", coalesce($"fin", $"comp").as("comp"))
           .transform(StatsReset.checkpointNoStats)
+        val totalIters = iteration + sub.stats.iterations
+        // Round-4 verdict #7: this branch RETURNS — without a durable write
+        // a crash after a long contracted run would resume from round
+        // <= contractAt. The composed labeling is the final state, so write
+        // it as the terminal checkpoint (resume then costs one confirming
+        // round that observes changed == 0).
+        val composed =
+          if (checkpointDir.isDefined)
+            Checkpointer.write(checkpointDir.get, "wcc", totalIters, 0.0,
+              composed0, fingerprint).transform(StatsReset.checkpointNoStats)
+          else composed0
         und.unpersist()
         return Result(composed, ConvergenceStats(
-          iteration + sub.stats.iterations, 0.0, sub.stats.converged))
+          totalIters, 0.0, sub.stats.converged))
       }
 
       if (checkpointDir.isDefined && changed > 0

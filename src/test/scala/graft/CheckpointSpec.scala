@@ -66,6 +66,38 @@ class CheckpointSpec extends SparkSpec {
     assert(got == full)
   }
 
+  test("WCC contraction branch writes a terminal checkpoint; resume " +
+      "restores the composed labeling exactly") {
+    // Round-4 verdict #7: the contraction branch RETURNS the composed
+    // labeling — before the fix nothing durable was written past the
+    // decision round, so a crash after a long contracted run resumed from
+    // round <= contractAt.
+    val dir = Files.createTempDirectory("graft-ckpt-wcc-contract").toString
+    val chain = (0L until 40L).map(i => (i, i + 1)) ++ edges
+    val g = LinkGraph(edgesDF(chain))
+    val cfg = WccConfig(contractAfter = 1)
+
+    val full = Wcc.run(g, cfg, checkpointDir = Some(dir)).components
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // the terminal checkpoint IS the composed labeling ("kill after
+    // contraction": the durable state on disk must already be final)
+    val (meta, state) = Checkpointer.latest(spark, dir).get
+    assert(meta.algorithm == "wcc" && meta.iteration >= 2)
+    val onDisk = state.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(onDisk == full)
+
+    // resume: picks up the composed labeling, pays one confirming batch
+    // that observes changed == 0, and returns identical labels
+    val resumed = Wcc.run(g, cfg, checkpointDir = Some(dir))
+    assert(resumed.stats.converged)
+    assert(resumed.stats.iterations > meta.iteration)
+    val got = resumed.components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+  }
+
   test("SCC resume mid-outer-round equals uninterrupted run exactly") {
     import graft.algos.Scc
     val dir = Files.createTempDirectory("graft-ckpt-scc").toString
