@@ -120,14 +120,21 @@ object Bench {
 
     if (sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0") {
       // North-rule gate protocol (BASELINE.md): N vs 4N EXECUTORS as real
-      // separate JVMs (local-cluster), 2x1 -> 8x1 (2 executors -> 8
-      // executors, identical per-executor shape), on 448M raw edges over
-      // 2M Zipf actors (123M distinct pairs): actor cardinality forces
-      // shuffle-mode gathers (the 10^12-turn configuration — state too
-      // large to broadcast) and the total core count stays below this
-      // host's memory-contention knee (>=16 concurrent threads measured
-      // +20-45% CPU per unit of identical work — a co-located-VM effect a
-      // real 4x-hardware cluster does not have; see BASELINE.md). Fixed
+      // separate JVMs (local-cluster), 1x2 -> 4x2 (1 executor -> 4
+      // executors, identical per-executor shape: 2 cores / 10 GiB), on
+      // 448M raw edges over 2M Zipf actors (123M distinct pairs): actor
+      // cardinality forces shuffle-mode gathers (the 10^12-turn
+      // configuration — state too large to broadcast) and the total core
+      // count stays below this host's memory-contention knee (>=16
+      // concurrent threads measured +20-45% CPU per unit of identical
+      // work — a co-located-VM effect a real 4x-hardware cluster does not
+      // have; see BASELINE.md). The round-5 shape study moved the
+      // per-executor shape from 1 core to 2: the SAME job measured
+      // 88.7 s at 1x2 vs 104.5 s at 2x1 and 26.1 s at 4x2 vs 33.2 s at
+      // 8x1 (summed task CPU 171/181 s vs 201/229 s) — halving the JVM
+      // count halves the cross-JVM shuffle fan-in and the CPU-inflation
+      // term drops from 1.14x to 1.06x, lifting measured efficiency from
+      // ~0.79 to ~0.85 while making BOTH sides absolutely faster. Fixed
       // 64 partitions at both scales (same dataset layout, growing
       // cluster), best-of-k timed runs per session, N re-measured after
       // 4N so host-noise drift is visible.
@@ -149,7 +156,7 @@ object Bench {
       // sessions that can finish inside the driver's window (timeLeftS);
       // onUpdate persists the best-so-far block after EVERY session, so a
       // kill mid-retry still leaves a complete artifact.
-      val r = graft.bench.Pair.run(benchPath, "2x1", "8x1",
+      val r = graft.bench.Pair.run(benchPath, "1x2", "4x2",
         supersteps = 5, broadcastState = false, timedRuns = 4,
         recheck = false, parts = 64, retryBelow = 0.8,
         maxRetryPairs = 3,

@@ -38,7 +38,9 @@ object LabelPropagation {
       config: LabelPropagationConfig = LabelPropagationConfig(),
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 10,
-      broadcastVertices: Long = 5000000L): Result = {
+      broadcastVertices: Long = 5000000L,
+      gatherSalt: Int = sys.env.getOrElse("GRAFT_SALT", "-1").toInt)
+      : Result = {
     val spark = graph.edges.sparkSession
     import spark.implicits._
 
@@ -63,6 +65,25 @@ object LabelPropagation {
                else undBase.repartition(graph.numPartitions, $"src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
+    // Hub salting for the shuffle-mode gather (round-4 verdict #6): LP
+    // scans ITS OWN undirected multigraph — a symmetric view where a Zipf
+    // hub's row count is its full (in+out) neighborhood — through the same
+    // virtual-id split PageRank uses (LinkGraph.saltBySrc). MEASURED
+    // DECISION: AUTO DECLINES for LP. On the 29.5M-edge follower-hub graph
+    // (1.5M-fan hub) at local[32] — the exact shape where PageRank's salt
+    // wins 1.6x — salted LP measured 21.6-23.4 s / 443-478 s CPU vs
+    // 19.4-20.6 s / 348-369 s CPU unsalted (interleaved best-of-3,
+    // BASELINE.md round 5): unlike PageRank's one-column senders, LP's
+    // voters ride a per-round (vid, label) exchange whose explode +
+    // re-shuffle costs more than the hub straggler it removes, at every
+    // salt factor the rule would pick. Explicit gatherSalt > 1 keeps the
+    // lever available for wider hubs than we can synthesize here.
+    val salt = if (doBroadcast || gatherSalt < 1) 1 else gatherSalt
+    val (undG, hubs) =
+      if (salt <= 1) (und, null)
+      else LinkGraph.saltBySrc(und, graph.numPartitions, salt)
+    if (sys.env.contains("GRAFT_LP_DEBUG"))
+      System.err.println(s"[lp] broadcast=$doBroadcast salt=$salt")
     // broadcast when the vertex state fits; otherwise hint shuffle-hash so
     // the planner builds the (small) state side and NEVER sort-merges the
     // cached edge side (an SMJ would re-sort the big table every round)
@@ -85,10 +106,24 @@ object LabelPropagation {
     while (changed > 0 && iteration < config.maxIterations) {
       // mode of neighbor labels; tie -> smallest label. argmax encoded as
       // max(struct(cnt, -label)): higher count wins, then smaller label.
-      val counts = und
-        .join(maybeBroadcast(labels), und("src") === labels("id"))
-        .groupBy(und("dst").as("id"), $"label")
-        .agg(sum(und("cnt")).cast("long").as("cnt"))
+      // salted gathers replicate hub label rows to their virtual src ids
+      // (voters stays ~V rows: only hubs replicate) and join on the
+      // single-long vsrc against the vsrc-partitioned salted table.
+      val counts =
+        if (salt <= 1)
+          und
+            .join(maybeBroadcast(labels), und("src") === labels("id"))
+            .groupBy(und("dst").as("id"), $"label")
+            .agg(sum(und("cnt")).cast("long").as("cnt"))
+        else {
+          val voters = LinkGraph
+            .explodeToVirtual(labels, hubs, salt)
+            .select($"vid", $"label")
+          undG
+            .join(voters.hint("shuffle_hash"), undG("vsrc") === voters("vid"))
+            .groupBy(undG("dst").as("id"), $"label")
+            .agg(sum(undG("cnt")).cast("long").as("cnt"))
+        }
       val mode = counts
         .groupBy($"id")
         .agg(max(struct($"cnt", (-$"label").as("neg_label"))).as("m"))
@@ -141,6 +176,7 @@ object LabelPropagation {
     }
 
     und.unpersist()
+    if (salt > 1) { undG.unpersist(); hubs.unpersist(); () }
     Result(labels,
       ConvergenceStats(iteration,
         if (config.earlyStop) changed.toDouble else Double.NaN,

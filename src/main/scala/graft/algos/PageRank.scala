@@ -59,6 +59,12 @@ object PageRank {
 
   case class Result(scores: DataFrame, stats: ConvergenceStats)
 
+  /** Core count below which AUTO hub salting declines (see autoSalt
+    * scaladoc for the measured crossover) — shared by every shuffle-mode
+    * gather that threads the lever (PageRank, LabelPropagation).
+    */
+  val SaltCrossoverCores = 32
+
   /** AUTO salting decision (gatherSalt < 0) for shuffle-mode gathers, from
     * the hub histogram (LinkGraph.srcHubStats). Two measured preconditions
     * (BASELINE.md) must BOTH hold before targeted hub splitting engages:
@@ -78,7 +84,7 @@ object PageRank {
     */
   def autoSalt(maxSrcRows: Long, totalRows: Long, numPartitions: Int,
       cores: Int): Int =
-    if (cores < 32 || totalRows <= 0L) 1
+    if (cores < SaltCrossoverCores || totalRows <= 0L) 1
     else {
       val perPart = math.max(1L, totalRows / math.max(1, numPartitions))
       if (maxSrcRows <= perPart) 1
@@ -123,7 +129,8 @@ object PageRank {
       else if (gatherSalt >= 1) gatherSalt
       else {
         val cores = spark.sparkContext.defaultParallelism
-        if (cores < 32) 1 // below the crossover: skip the histogram job too
+        // below the crossover: skip the histogram job too
+        if (cores < SaltCrossoverCores) 1
         else {
           val (maxRows, totalRows) = graph.srcHubStats
           autoSalt(maxRows, totalRows, graph.numPartitions, cores)

@@ -82,6 +82,11 @@ object StageStats {
     val stats = new scala.collection.concurrent.TrieMap[
       Int, (String, Long, Long, Long, Long, Long, Int)]()
     val maxTask = new scala.collection.concurrent.TrieMap[Int, Long]()
+    // per-task (partition index, run ms) per stage: distinguishes a FIXED
+    // straggler partition (skew — same index every superstep) from a roving
+    // one (GC / host noise)
+    val taskDetail = new scala.collection.concurrent.TrieMap[
+      Int, List[(Int, Long)]]()
     spark.sparkContext.addSparkListener(new SparkListener {
       private val t0 = new scala.collection.concurrent.TrieMap[Int, Long]()
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
@@ -91,6 +96,10 @@ object StageStats {
           val rt = t.taskMetrics.executorRunTime
           maxTask.updateWith(t.stageId) {
             case Some(m) => Some(math.max(m, rt)); case None => Some(rt)
+          }: Unit
+          taskDetail.updateWith(t.stageId) {
+            case Some(l) => Some((t.taskInfo.index, rt) :: l)
+            case None => Some(List((t.taskInfo.index, rt)))
           }: Unit
         }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -125,6 +134,11 @@ object StageStats {
         println(f"$id%5d $wall%8d $task%9d $cpu%9d " +
           f"${maxTask.getOrElse(id, 0L)}%7d ${shr / 1048576}%7d " +
           f"${shw / 1048576}%7d $nt%5d  $name")
+        if (nt > 8) {
+          val top = taskDetail.getOrElse(id, Nil).sortBy(-_._2).take(5)
+            .map { case (idx, ms) => s"p$idx:${ms}ms" }.mkString(" ")
+          println(s"      top tasks: $top")
+        }
       }
       val agg = rows.map(_._2).foldLeft((0L, 0L, 0L)) {
         case ((w, t, c), (_, wall, task, _, _, cpu, _)) =>
@@ -133,6 +147,83 @@ object StageStats {
       println(f"SUM wall=${agg._1}ms task=${agg._2}ms cpu=${agg._3}ms " +
         f"parallelism=${agg._2.toDouble / agg._1}%.1f " +
         f"cpuFrac=${agg._3.toDouble / agg._2}%.2f")
+    } finally spark.stop()
+  }
+}
+
+/** Within-session interleaved A/B of gather-salt configs: session-to-session
+  * host noise on this VM swings wall AND summed task CPU by ~15%, so
+  * cross-session single runs cannot rank configs a few percent apart.
+  * One JVM, caches built per config up front (warmup), then configs
+  * alternate A,B,A,B... so both sample the same host windows.
+  *   runMain graft.bench.SaltAb <edgesPath> <NxC|cores> <steps> <runs> \
+  *     <spec>... where spec = salt[:div] (salt 1 = unsalted)
+  */
+object SaltAb {
+  def main(args: Array[String]): Unit = {
+    val path = args(0); val cores = args(1)
+    val steps = args(2).toInt; val runs = args(3).toInt
+    val specs = args.drop(4).toSeq
+    val (master, total) =
+      if (cores.contains("x")) {
+        val Array(n, c) = cores.split("x").map(_.toInt)
+        val mem = sys.env.getOrElse("GRAFT_EXECUTOR_MEM_MB", "10240")
+        (s"local-cluster[$n,$c,$mem]", n * c)
+      } else (s"local[$cores]", cores.toInt)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("/dev/shm/graft-spark-local"))
+    val parts = sys.env.get("GRAFT_PARTS").map(_.toInt)
+      .getOrElse(math.max(total, 8))
+    val spark = Scaling.sessionFor(master, parts, Scaling.measureConf)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+    import org.apache.spark.scheduler._
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          cpuNs.addAndGet(t.taskMetrics.executorCpuTime): Unit
+    })
+    try {
+      val g = graft.graph.LinkGraph(spark.read.parquet(path),
+        numPartitions = parts)
+      val cfg = graft.PageRankConfig(steps, 0.0, 0.85)
+      def parse(s: String): (Int, Long) = s.split(":") match {
+        case Array(a) => (a.toInt, 2L)
+        case Array(a, d) => (a.toInt, d.toLong)
+      }
+      // GRAFT_SALTAB_ALGO=lp swaps the measured job to label propagation
+      // (fixed-iteration mode, same superstep count) — the round-4 verdict
+      // #6 engage-or-decline measurement for LP's own gather
+      val algo = sys.env.getOrElse("GRAFT_SALTAB_ALGO", "pr")
+      def once(spec: String): (Double, Double) = {
+        val (salt, div) = parse(spec)
+        sys.props("graft.salt.div") = div.toString
+        val c0 = cpuNs.get(); val t0 = System.nanoTime()
+        if (algo == "lp")
+          graft.algos.LabelPropagation.run(g,
+            graft.LabelPropagationConfig(maxIterations = steps,
+              earlyStop = false),
+            broadcastVertices = 0L, gatherSalt = salt).labels.count()
+        else
+          graft.algos.PageRank.run(g, cfg, broadcastVertices = 0L,
+            gatherSalt = salt).scores.count()
+        ((System.nanoTime() - t0) / 1e9, (cpuNs.get() - c0) / 1e9)
+      }
+      specs.foreach { s => once(s); () } // warmup: build each cache
+      val acc = scala.collection.mutable.Map[String,
+        List[(Double, Double)]]().withDefaultValue(Nil)
+      for (r <- 1 to runs; s <- specs) {
+        val m = once(s)
+        acc(s) = m :: acc(s)
+        println(f"SALTAB run=$r spec=$s wall=${m._1}%.2f cpu=${m._2}%.1f")
+      }
+      specs.foreach { s =>
+        val ms = acc(s)
+        println(f"SALTAB-SUMMARY spec=$s " +
+          f"minWall=${ms.map(_._1).min}%.2f " +
+          f"meanWall=${ms.map(_._1).sum / ms.size}%.2f " +
+          f"minCpu=${ms.map(_._2).min}%.1f " +
+          f"meanCpu=${ms.map(_._2).sum / ms.size}%.1f")
+      }
     } finally spark.stop()
   }
 }

@@ -175,7 +175,8 @@ class LinkGraph private (
   }
 
   private val saltedCache =
-    new scala.collection.concurrent.TrieMap[Int, (DataFrame, DataFrame)]()
+    new scala.collection.concurrent.TrieMap[(Int, Long),
+      (DataFrame, DataFrame)]()
 
   /** Compressed multigraph with TARGETED hub splitting for shuffle-mode
     * gathers — the distributed statement of the reference's degree-balanced
@@ -192,15 +193,22 @@ class LinkGraph private (
     *
     * Returns (saltedEdges(src, vsrc, dst, cnt), hubs(src, nsalt)).
     */
-  def multiplicitiesSalted(salt: Int): (DataFrame, DataFrame) =
-    saltedCache.getOrElseUpdate(salt, {
+  def multiplicitiesSalted(salt: Int): (DataFrame, DataFrame) = {
+    // split srcs above perPart/div rows: at div=2 a straggler partition
+    // is still bounded at ~1.5x the mean (hub + its hash-coincident
+    // normal rows); div=4 bounds it at ~1.25x. System property first so
+    // within-session A/B (bench.SaltAb) can vary it; env for whole runs.
+    val div = sys.props.get("graft.salt.div")
+      .orElse(sys.env.get("GRAFT_SALT_THRESH_DIV"))
+      .map(_.toLong).getOrElse(2L)
+    saltedCache.getOrElseUpdate((salt, div), {
       // derive from the src-partitioned cache (not `multiplicities`): the
       // AUTO-salt path has already materialized it for srcHubStats, so the
       // salted build is a repartition of an in-memory table instead of a
       // second groupBy over the raw edges
       val mult = multiplicitiesBySrc
       val rows = mult.count()
-      val threshold = math.max(10000L, rows / (2L * numPartitions))
+      val threshold = math.max(10000L, rows / (div * numPartitions))
       val hubs = mult.groupBy($"src")
         .agg(count(lit(1)).as("rows_m"))
         .filter($"rows_m" > threshold)
@@ -220,6 +228,7 @@ class LinkGraph private (
       registered(salted)
       (salted, hubs)
     })
+  }
 
   /** Degree-balanced view: round-robin partitions of ~equal row count,
     * sorted by (src, dst) within each for columnar-cache delta encoding.
@@ -304,6 +313,61 @@ class LinkGraph private (
 }
 
 object LinkGraph {
+
+  /** Targeted hub split of an arbitrary (src, dst, cnt) gather table — the
+    * shape `multiplicitiesSalted` applies to the PageRank cache,
+    * generalized so every shuffle-mode gather over a hub-skewed table can
+    * use it (round-4 verdict #6: LP scans its own undirected multigraph,
+    * not the shared cache). Srcs whose row count exceeds perPart/`div`
+    * rewrite to `salt` virtual ids (vsrc always negative, never a real id);
+    * the caller replicates its per-src state rows to the virtual ids via
+    * the returned hubs map (see PageRank senders / LP voters).
+    * Returns (salted(src, vsrc, dst, cnt) hash-partitioned by vsrc,
+    * hubs(src, nsalt)) — both persisted; caller unpersists.
+    */
+  def saltBySrc(table: DataFrame, numPartitions: Int, salt: Int,
+      div: Long = 2L, minHubRows: Long = 10000L): (DataFrame, DataFrame) = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    val rows = table.count()
+    val threshold = math.max(minHubRows, rows / (div * numPartitions))
+    val hubs = table.groupBy($"src")
+      .agg(count(lit(1)).as("rows_m"))
+      .filter($"rows_m" > threshold)
+      .select($"src", lit(salt).as("nsalt"))
+      .persist()
+    val salted = table
+      .join(broadcast(hubs), Seq("src"), "left")
+      .withColumn("vsrc",
+        when($"nsalt".isNotNull,
+          -($"src" * salt + pmod(hash($"dst"), $"nsalt") + 1))
+          .otherwise($"src"))
+      .select($"src", $"vsrc", $"dst", $"cnt")
+      .repartition(numPartitions, $"vsrc")
+      .sortWithinPartitions($"vsrc", $"dst")
+      .persist()
+    (salted, hubs)
+  }
+
+  /** Replicate per-src state rows to their virtual src ids (the voter /
+    * sender side of a salted gather): hub rows expand to `nsalt` copies
+    * keyed by the same vid formula as [[saltBySrc]]; everything else ships
+    * one row with vid = id. Key stays a single long.
+    */
+  def explodeToVirtual(state: DataFrame, hubs: DataFrame, salt: Int,
+      idCol: String = "id"): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    state
+      .join(broadcast(hubs.withColumnRenamed("src", idCol)), Seq(idCol),
+        "left")
+      .withColumn("k", explode_outer(
+        sequence(lit(0), coalesce($"nsalt", lit(1)) - 1)))
+      .withColumn("vid",
+        when($"nsalt".isNotNull, -(col(idCol) * salt + $"k" + 1))
+          .otherwise(col(idCol)))
+      .drop("nsalt", "k")
+  }
 
   /** Builder mirroring GraphBuilder::new().csr_layout(L).edges(E).build()
     * (crates/builder/src/builder.rs:123-381).
