@@ -8,8 +8,9 @@ import java.nio.file.{Files, Paths}
   * Part 1 — headline queries on SPARK_GRAFT_SF_DIR (per-query seconds).
   * Part 2 — the authoritative BASELINE.md metric: PageRank edges/sec per
   * superstep on the deterministic Zipf transcript graph (FIXTURES.md §5) at
-  * local-cluster 2x1 vs 8x1 (the sandbox N -> 4N protocol), with scaling
-  * efficiency = thrpt(4N)/(4*thrpt(N)). Disable with SPARK_GRAFT_SCALING=0.
+  * local-cluster 1x2 vs 4x2 (the sandbox N -> 4N protocol; round-5 shape
+  * study), with scaling efficiency = thrpt(4N)/(4*thrpt(N)). Disable with
+  * SPARK_GRAFT_SCALING=0.
   *
   * Timeout-proof output contract (round-4 verdict #1: the driver killed the
   * run mid-protocol and BENCH_r04 parsed null — nothing machine-readable
