@@ -130,6 +130,10 @@ object SparkEntry {
         numPlanes = ANN_PLANES, dims = EMB_DIMS, numTables = ANN_TABLES,
         probeHamming = 2)),
 
+    "s_ann_ivf" -> ((s, dir) =>
+      graft.sim.Similarity.ivfTopK(embs(s, dir), 10L, 5,
+        nlist = IVF_NLIST, nprobe = IVF_NPROBE)),
+
     "m_blob_meta" -> ((s, dir) =>
       graft.multimodal.Multimodal.asBlobs(docs(s, dir))
         .select(col("doc_id"), col("media_type"), col("n_bytes"))),
@@ -160,6 +164,8 @@ object SparkEntry {
   private val EMB_TABLES = 4
   private val ANN_PLANES = 4
   private val ANN_TABLES = 2
+  private val IVF_NLIST = 16
+  private val IVF_NPROBE = 4
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -614,6 +620,39 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cosine, rank FROM r
          |WHERE rank <= 5""".stripMargin
     },
+
+    "s_ann_ivf" ->
+      // mirrors Similarity.ivfTopK exactly: seeded centroids (vec_id <
+      // nlist), rounded-cosine argmax assignment (smaller cid on ties),
+      // nprobe nearest cells per query, exact rerank within probed cells
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |    AS norm FROM embeddings),
+         |c AS (SELECT vec_id AS cid, emb AS c_emb, norm AS c_norm
+         |  FROM e WHERE vec_id < $IVF_NLIST),
+         |a AS (SELECT e.vec_id, e.emb, e.norm, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(list_dot_product(e.emb, c.c_emb)
+         |        / (e.norm * c.c_norm), 4) DESC, c.cid ASC) AS rn
+         |  FROM e CROSS JOIN c),
+         |inv AS (SELECT vec_id, emb, norm, cid AS cell FROM a WHERE rn = 1),
+         |qp AS (SELECT e.vec_id AS query_id, e.emb AS q_emb,
+         |    e.norm AS q_norm, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(list_dot_product(e.emb, c.c_emb)
+         |        / (e.norm * c.c_norm), 4) DESC, c.cid ASC) AS pr
+         |  FROM e CROSS JOIN c WHERE e.vec_id < 10),
+         |p AS (SELECT query_id, q_emb, q_norm, cell FROM qp
+         |  WHERE pr <= $IVF_NPROBE),
+         |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id,
+         |    round(list_dot_product(p.q_emb, i.emb)
+         |      / (p.q_norm * i.norm), 4) AS cosine
+         |  FROM p JOIN inv i ON i.cell = p.cell AND i.vec_id <> p.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id ASC)::BIGINT AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, rank FROM r
+         |WHERE rank <= 5""".stripMargin,
 
     "m_blob_meta" ->
       """SELECT doc_id, 'application/fake-image' AS media_type,

@@ -62,6 +62,76 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: coarse quantizer + inverted lists + multi-cell probe
+    * with exact rerank — the data-ADAPTIVE scale path beside [[lshTopK]]'s
+    * data-oblivious hyperplanes (cells are regions of the actual corpus,
+    * so probes chase the distribution instead of fixed sign bits).
+    *
+    * Centroids are SEEDED deterministically (the `nlist` smallest vec_ids)
+    * so the whole pipeline has a statable DuckDB oracle; at corpus scale
+    * they would come from k-means over a sample, and everything downstream
+    * — assignment, inverted lists, probe, rerank — is identical.
+    *
+    * Scale shape (100 TB): assignment is ONE broadcast-nested-loop pass of
+    * the corpus against the tiny centroid table (nlist rows) followed by a
+    * map-side-combined argmax — the only corpus-sized shuffle, and it is
+    * the index BUILD, paid once and persisted as a table bucketed by
+    * `cell` so a probe prunes straight to its file groups. The query path
+    * never shuffles the corpus: probe cells are a broadcast, candidates
+    * stream cell-locally, and only the (queries x nprobe/nlist) candidate
+    * slice is scored.
+    *
+    * Argmax decisions order by ROUNDED (4dp) cosine with the smaller
+    * centroid id winning ties — the same engine-portable ordering every
+    * similarity query here uses. Output (query_id, neighbor_id, cosine,
+    * rank); with nprobe = nlist the candidate set is the full corpus and
+    * the result is exactly [[bruteForceTopK]] (spec'd).
+    */
+  def ivfTopK(
+      embeddings: DataFrame, queryMaxId: Long, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = withNorm(embeddings)
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("emb_d").as("c_emb"),
+        col("norm").as("c_norm"))
+    val simToCent = round(cosine(col("emb_d"), col("c_emb"),
+      col("norm"), col("c_norm")), 4)
+    // inverted-list assignment: argmax cell as max(struct(cos, -cid));
+    // emb/norm ride the aggregation via first() (all rows in a vec_id
+    // group carry the same vector), so no corpus self-join is needed
+    val corpus = e.join(broadcast(cents), lit(true))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(simToCent.as("s"), (-col("cid")).as("nc"))).as("m"),
+        first(col("emb_d")).as("emb_d"), first(col("norm")).as("norm"))
+      .select(col("vec_id"), (-col("m.nc")).cast("long").as("cell"),
+        col("emb_d"), col("norm"))
+    // query-side probes: the nprobe nearest cells per query (tiny window —
+    // queries x nlist rows)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("cid").asc)
+    val probeCells = e.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("q_emb"),
+        col("norm").as("q_norm"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("cid"),
+        round(cosine(col("q_emb"), col("c_emb"),
+          col("q_norm"), col("c_norm")), 4).as("s"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("cid").as("cell"))
+    // cell-local exact rerank
+    val scored = corpus.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("emb_d"),
+          col("q_norm"), col("norm")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random integer hyperplane component in
     * [-1000, 1000]: a pure function of (table, plane, dim) via the
     * engine-portable 60-bit md5 hash — no RNG state, no broadcast of plane
