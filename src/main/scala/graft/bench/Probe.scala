@@ -228,6 +228,49 @@ object SaltAb {
   }
 }
 
+/** Within-session interleaved A/B of SSSP round-batch sizes (the g_sssp
+  * action-floor knob): one JVM, one shared LinkGraph cache, configs
+  * alternate A,B,C,A,B,C so every batch size samples the same host windows
+  * (cross-session runs swing ~15% on this VM — see SaltAb).
+  *   runMain graft.bench.SsspBatchAb <sfDir|edgesPath> <cores> <runs> \
+  *     <batch>...
+  */
+object SsspBatchAb {
+  def main(args: Array[String]): Unit = {
+    val path = args(0); val cores = args(1).toInt
+    val runs = args(2).toInt
+    val batches = args.drop(3).map(_.toInt).toSeq
+    val spark = Scaling.session(cores)
+    try {
+      val edges =
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$path/events.parquet")))
+          graft.sources.EventEdges.edges(spark, path)
+        else spark.read.parquet(path)
+      val g = graft.graph.LinkGraph(edges)
+      def once(batch: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.algos.Sssp.run(g,
+          graft.SsspConfig(0L, roundBatch = batch)).distances.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      batches.foreach { b => once(b); () } // warmup: caches + JIT per shape
+      val acc = scala.collection.mutable.Map[Int, List[Double]]()
+        .withDefaultValue(Nil)
+      for (r <- 1 to runs; b <- batches) {
+        val s = once(b)
+        acc(b) = s :: acc(b)
+        println(f"SSSPAB run=$r batch=$b wall=$s%.2f")
+      }
+      batches.foreach { b =>
+        val ms = acc(b)
+        println(f"SSSPAB-SUMMARY batch=$b min=${ms.min}%.2f " +
+          f"mean=${ms.sum / ms.size}%.2f")
+      }
+    } finally spark.stop()
+  }
+}
+
 object GenBench {
   def main(args: Array[String]): Unit = {
     val Array(path, convs, turns, actors) = args
