@@ -63,6 +63,26 @@ class GoldenAlgosSpec extends SparkSpec {
     assert(math.abs(m(2L) - (base + 0.85 * s1i1)) < 1e-12)
   }
 
+  test("PageRank config semantics mirror the reference " +
+      "(max_iterations / tolerance / damping)") {
+    // page_rank_test.py:19-33: max_iterations=1 runs exactly one
+    // superstep; a tolerance above the first iteration's L1 error stops
+    // after one round (the reference uses tolerance=1 against its 256-node
+    // fixture whose first error is < 1; this graph's is 1.024, so use the
+    // graph-independent L1 ceiling of 2 — score mass is conserved, so
+    // sum|new-old| <= 2); damping_factor=0 yields the uniform 1/n vector
+    // immediately (every score = (1-d)/n with d=0).
+    val g = LinkGraph(edgesDF(Fixtures.prReadme13Edges))
+    val capped = PageRank.run(g, PageRankConfig(1, 1e-4, 0.85))
+    assert(capped.stats.iterations == 1)
+    val tol = PageRank.run(g, PageRankConfig(20, 2.0, 0.85))
+    assert(tol.stats.iterations == 1 && tol.stats.converged)
+    val uni = PageRank.run(g, PageRankConfig(20, 1e-4, 0.0))
+    assert(uni.stats.iterations == 1 && uni.stats.converged)
+    scoresMap(uni.scores).values.foreach(s =>
+      assert(math.abs(s - 1.0 / 13) < 1e-12))
+  }
+
   test("WCC two pairs -> min-id components [0,0,2,2]") {
     val ts = Fixtures.transcriptsFromEdges(spark,
       Fixtures.wccTwoPairsEdges, 4L)
