@@ -157,8 +157,16 @@ object Bench {
       // sessions that can finish inside the driver's window (timeLeftS);
       // onUpdate persists the best-so-far block after EVERY session, so a
       // kill mid-retry still leaves a complete artifact.
+      // timedRuns=3 (was 4): a slow host window inflates BOTH the query
+      // block and the first session pair, and one round-5 roll burned the
+      // whole 2100 s budget on queries + a 4-run pair drawn in a 1.5-1.9x
+      // window — leaving NO retry budget exactly when the asymmetric-noise
+      // failure mode (4N taxed harder than N => deflated ratio, measured
+      // 0.641) needs a retry pair most. min-of-3 loses little precision;
+      // the freed ~200-300 s reliably fits the cheap 4N retry session that
+      // corrects that mode.
       val r = graft.bench.Pair.run(benchPath, "1x2", "4x2",
-        supersteps = 5, broadcastState = false, timedRuns = 4,
+        supersteps = 5, broadcastState = false, timedRuns = 3,
         recheck = false, parts = 64, retryBelow = 0.8,
         maxRetryPairs = 3,
         timeLeftS = () => timeLeftS,
