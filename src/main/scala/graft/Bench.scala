@@ -99,7 +99,16 @@ object Bench {
     // so the LAST parseable stdout line is always a complete artifact.
     def emit(): String = {
       val json = currentJson
-      Files.write(Paths.get("BENCH.out"), json.getBytes("UTF-8"))
+      // write-temp + ATOMIC_MOVE, never truncate-in-place: emit() now runs
+      // a dozen-plus times per roll, and a kill landing between a truncate
+      // and its rewrite would leave an empty/partial BENCH.out — the exact
+      // parsed-null failure this contract exists to prevent (same pattern
+      // as ParquetTableIO.commit)
+      val tmp = Paths.get("BENCH.out.tmp")
+      Files.write(tmp, json.getBytes("UTF-8"))
+      Files.move(tmp, Paths.get("BENCH.out"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       println(json)
       System.out.flush()
       json

@@ -82,6 +82,13 @@ object LabelPropagation {
     val (undG, hubs) =
       if (salt <= 1) (und, null)
       else LinkGraph.saltBySrc(und, graph.numPartitions, salt)
+    if (salt > 1) {
+      // every per-round gather reads only the salted copy — materialize
+      // it (forcing `hubs` too) and release the unsalted multigraph, or
+      // the job's largest table stays double-pinned for the whole run
+      undG.count()
+      und.unpersist(); ()
+    }
     if (sys.env.contains("GRAFT_LP_DEBUG"))
       System.err.println(s"[lp] broadcast=$doBroadcast salt=$salt")
     // broadcast when the vertex state fits; otherwise hint shuffle-hash so
@@ -175,8 +182,8 @@ object LabelPropagation {
       }
     }
 
-    und.unpersist()
     if (salt > 1) { undG.unpersist(); hubs.unpersist(); () }
+    else und.unpersist()
     Result(labels,
       ConvergenceStats(iteration,
         if (config.earlyStop) changed.toDouble else Double.NaN,

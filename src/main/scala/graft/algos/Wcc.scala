@@ -136,6 +136,15 @@ object Wcc {
     val resume = checkpointDir
       .flatMap(Checkpointer.latest(spark, _, fingerprint))
       .filter(_._1.algorithm == "wcc")
+    // a TERMINAL checkpoint (the contraction branch's composed labeling)
+    // is final state: return it directly — re-entering the loop would
+    // skip the confirming round when iteration >= maxIterations and
+    // misreport a finished run as converged=false
+    resume.filter(_._1.converged).foreach { case (meta, state) =>
+      und.unpersist()
+      return Result(state.transform(StatsReset.checkpointNoStats),
+        ConvergenceStats(meta.iteration, 0.0, converged = true))
+    }
     var iteration = resume.map(_._1.iteration).getOrElse(0)
     // Eager localCheckpoint per round: the pointer-jump self-join would
     // otherwise DOUBLE the logical plan every round (SURVEY.md §7.4-5).
@@ -263,10 +272,16 @@ object Wcc {
         // <= contractAt. The composed labeling is the final state, so write
         // it as the terminal checkpoint (resume then costs one confirming
         // round that observes changed == 0).
+        // converged=true marks the checkpoint TERMINAL: a resume returns
+        // it directly instead of re-entering the loop — which would
+        // silently report converged=false whenever totalIters already
+        // reached maxIterations (the loop guard skips the confirming
+        // round entirely in that case)
         val composed =
           if (checkpointDir.isDefined)
             Checkpointer.write(checkpointDir.get, "wcc", totalIters, 0.0,
-              composed0, fingerprint).transform(StatsReset.checkpointNoStats)
+              composed0, fingerprint, converged = sub.stats.converged)
+              .transform(StatsReset.checkpointNoStats)
           else composed0
         und.unpersist()
         return Result(composed, ConvergenceStats(

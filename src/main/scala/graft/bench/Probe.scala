@@ -67,12 +67,7 @@ object Probe2 {
 object StageStats {
   def main(args: Array[String]): Unit = {
     val Array(path, cores, steps, bcast) = args
-    val (master, total) =
-      if (cores.contains("x")) {
-        val Array(n, c) = cores.split("x").map(_.toInt)
-        val mem = sys.env.getOrElse("GRAFT_EXECUTOR_MEM_MB", "10240")
-        (s"local-cluster[$n,$c,$mem]", n * c)
-      } else (s"local[$cores]", cores.toInt)
+    val (master, total) = Pair.master(cores)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get("/dev/shm/graft-spark-local"))
     val spark = Scaling.sessionFor(master,
@@ -164,12 +159,9 @@ object SaltAb {
     val path = args(0); val cores = args(1)
     val steps = args(2).toInt; val runs = args(3).toInt
     val specs = args.drop(4).toSeq
-    val (master, total) =
-      if (cores.contains("x")) {
-        val Array(n, c) = cores.split("x").map(_.toInt)
-        val mem = sys.env.getOrElse("GRAFT_EXECUTOR_MEM_MB", "10240")
-        (s"local-cluster[$n,$c,$mem]", n * c)
-      } else (s"local[$cores]", cores.toInt)
+    // the gate protocol's own spec parsing — a drifting copy here would
+    // A/B under a different cluster shape than the rolls it explains
+    val (master, total) = Pair.master(cores)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get("/dev/shm/graft-spark-local"))
     val parts = sys.env.get("GRAFT_PARTS").map(_.toInt)

@@ -29,14 +29,16 @@ object Checkpointer {
       numPartitions: Int,
       partitionRows: Seq[Long],
       totalRows: Long,
-      fingerprint: String = "")
+      fingerprint: String = "",
+      converged: Boolean = false)
 
   private def metaToJson(m: Meta): String = {
     val rows = m.partitionRows.mkString("[", ",", "]")
     s"""{"algorithm":"${m.algorithm}","iteration":${m.iteration},""" +
       s""""error":${m.error},"numPartitions":${m.numPartitions},""" +
       s""""partitionRows":$rows,"totalRows":${m.totalRows},""" +
-      s""""fingerprint":"${m.fingerprint}"}"""
+      s""""fingerprint":"${m.fingerprint}",""" +
+      s""""converged":${m.converged}}"""
   }
 
   private def metaFromJson(s: String): Meta = {
@@ -61,7 +63,11 @@ object Checkpointer {
       fingerprint =
         if (s.contains("\"fingerprint\":"))
           field("fingerprint").stripPrefix("\"").stripSuffix("\"")
-        else "")
+        else "",
+      converged =
+        if (s.contains("\"converged\":"))
+          field("converged").trim.toBoolean
+        else false)
   }
 
   private def dir(root: String, iteration: Int): Path =
@@ -76,7 +82,8 @@ object Checkpointer {
       iteration: Int,
       error: Double,
       state: DataFrame,
-      fingerprint: String = ""): DataFrame = {
+      fingerprint: String = "",
+      converged: Boolean = false): DataFrame = {
     val spark = state.sparkSession
     val d = dir(root, iteration)
     val dataPath = d.resolve("state").toString
@@ -87,7 +94,8 @@ object Checkpointer {
       .orderBy(col("pid")).collect().map(_.getLong(1)).toSeq
     val meta = Meta(algorithm, iteration, error,
       numPartitions = perPart.size, partitionRows = perPart,
-      totalRows = perPart.sum, fingerprint = fingerprint)
+      totalRows = perPart.sum, fingerprint = fingerprint,
+      converged = converged)
     Files.createDirectories(d)
     Files.writeString(d.resolve("_meta.json"), metaToJson(meta))
     reread

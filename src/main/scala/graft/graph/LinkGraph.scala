@@ -196,11 +196,8 @@ class LinkGraph private (
   def multiplicitiesSalted(salt: Int): (DataFrame, DataFrame) = {
     // split srcs above perPart/div rows: at div=2 a straggler partition
     // is still bounded at ~1.5x the mean (hub + its hash-coincident
-    // normal rows); div=4 bounds it at ~1.25x. System property first so
-    // within-session A/B (bench.SaltAb) can vary it; env for whole runs.
-    val div = sys.props.get("graft.salt.div")
-      .orElse(sys.env.get("GRAFT_SALT_THRESH_DIV"))
-      .map(_.toLong).getOrElse(2L)
+    // normal rows); div=4 bounds it at ~1.25x.
+    val div = LinkGraph.saltDiv()
     saltedCache.getOrElseUpdate((salt, div), {
       // derive from the src-partitioned cache (not `multiplicities`): the
       // AUTO-salt path has already materialized it for srcHubStats, so the
@@ -314,6 +311,16 @@ class LinkGraph private (
 
 object LinkGraph {
 
+  /** Straggler-bound divisor for hub-salting thresholds (split srcs above
+    * rows/(div*partitions)): system property first so within-session A/B
+    * (bench.SaltAb) can vary it, env for whole runs, else 2 — ONE
+    * resolution shared by every salted gather path.
+    */
+  def saltDiv(): Long =
+    sys.props.get("graft.salt.div")
+      .orElse(sys.env.get("GRAFT_SALT_THRESH_DIV"))
+      .map(_.toLong).getOrElse(2L)
+
   /** Targeted hub split of an arbitrary (src, dst, cnt) gather table — the
     * shape `multiplicitiesSalted` applies to the PageRank cache,
     * generalized so every shuffle-mode gather over a hub-skewed table can
@@ -326,11 +333,15 @@ object LinkGraph {
     * hubs(src, nsalt)) — both persisted; caller unpersists.
     */
   def saltBySrc(table: DataFrame, numPartitions: Int, salt: Int,
-      div: Long = 2L, minHubRows: Long = 10000L): (DataFrame, DataFrame) = {
+      div: Long = -1L, minHubRows: Long = 10000L): (DataFrame, DataFrame) = {
     val spark = table.sparkSession
     import spark.implicits._
     val rows = table.count()
-    val threshold = math.max(minHubRows, rows / (div * numPartitions))
+    // div <= 0 defers to the shared knob chain (prop/env/2), the same
+    // resolution multiplicitiesSalted uses — so bench.SaltAb's div A/B
+    // varies THIS path too, not only PageRank's
+    val d = if (div > 0) div else saltDiv()
+    val threshold = math.max(minHubRows, rows / (d * numPartitions))
     val hubs = table.groupBy($"src")
       .agg(count(lit(1)).as("rows_m"))
       .filter($"rows_m" > threshold)

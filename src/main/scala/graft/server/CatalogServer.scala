@@ -168,7 +168,15 @@ class CatalogServer(
               out.println("OK arrow")
               out.flush()
               streaming = true
-              streamArrowRows(df, limit, sock.getOutputStream)
+              val sent = streamArrowRows(df, limit, sock.getOutputStream)
+              // completeness trailer AFTER the EOS marker (line mode
+              // again): a failure at a clean batch boundary still yields
+              // a well-formed Arrow stream, so the row count is the one
+              // signal that lets a client distinguish "complete" from
+              // "truncated at a message boundary" — clients verify it
+              // against the rows they decoded
+              out.println(s"DONE $sent")
+              out.flush()
               line = in.readLine()
             } catch {
               case e: Exception if !streaming =>
@@ -314,7 +322,7 @@ class CatalogServer(
     * id + numeric lanes); anything else rides as utf8 of its string form.
     */
   private def streamArrowRows(
-      df: DataFrame, limit: Long, os: java.io.OutputStream): Unit = {
+      df: DataFrame, limit: Long, os: java.io.OutputStream): Long = {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector._
     import org.apache.arrow.vector.ipc.ArrowStreamWriter
@@ -347,10 +355,18 @@ class CatalogServer(
     }
     val writer = new ArrowStreamWriter(root, null,
       java.nio.channels.Channels.newChannel(shield))
+    // EOS is written ONLY on success: ArrowStreamWriter.close() calls
+    // end(), so an unconditional close in the finally would stamp a clean
+    // end-of-stream marker onto a stream that failed between batches —
+    // the client would then read a truncated result as complete. On
+    // failure the stream is abandoned un-ended and the GETB handler
+    // closes the socket (the dropped-Flight-stream contract); buffers
+    // are released via root/alloc regardless.
+    var ended = false
+    var sent = 0L
     try {
       writer.start()
       val it = df.toLocalIterator()
-      var sent = 0L
       val batchSize = 10000
       while (it.hasNext && sent < limit) {
         root.allocateNew()
@@ -383,11 +399,15 @@ class CatalogServer(
         writer.writeBatch()
       }
       writer.end() // writes the IPC end-of-stream marker
+      ended = true
       os.flush()
+      sent
     } finally {
-      writer.close()
-      root.close()
-      alloc.close()
+      // nested so a throw from writer.close() can never leak the Arrow
+      // direct memory held by root/alloc in the long-running daemon
+      try { if (ended) writer.close() } finally {
+        try root.close() finally alloc.close()
+      }
     }
   }
 }

@@ -278,6 +278,9 @@ class CatalogServerSpec extends SparkSpec {
       // close(false) releases Arrow buffers but keeps the socket stream
       // open; the EOS marker has been consumed — line mode again
       reader.close(false)
+      // completeness trailer: the row count a client verifies to tell a
+      // complete stream from one truncated at a clean batch boundary
+      assert(readLineRaw() == "DONE 5")
       val tsv = {
         out.println("GET g page_rank")
         assert(readLineRaw() == "OK")
@@ -297,11 +300,88 @@ class CatalogServerSpec extends SparkSpec {
         n += reader2.getVectorSchemaRoot.getRowCount
       assert(n == 2)
       reader2.close(false)
+      assert(readLineRaw() == "DONE 2")
 
       out.println("QUIT")
       assert(readLineRaw() == "OK bye")
       sock.close()
       alloc.close()
+    } finally srv.close()
+  }
+
+  test("GETB failure after streaming began yields no DONE trailer") {
+    // A mid-stream failure can land on a clean batch boundary, where the
+    // abandoned Arrow stream still LOOKS well-formed to a reader that
+    // treats EOF as end-of-stream (Arrow's Java and Python readers both
+    // do). The completeness contract is therefore: EOS is only written on
+    // success, and a `DONE <rows>` line follows it — a client that doesn't
+    // see the trailer knows the stream was cut, wherever the cut landed.
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-serve-cut").toString
+    val cat = new GraphCatalog(new ParquetTableIO(s"$root/cat"))
+    Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "weight").write.parquet(s"$root/edges")
+    val srv = new CatalogServer(spark, cat)
+    try {
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      val rawIn = sock.getInputStream
+      val out = new PrintWriter(sock.getOutputStream, true)
+      def readLineRaw(): String = {
+        val sb = new StringBuilder
+        var c = rawIn.read()
+        while (c != -1 && c != '\n') { sb.append(c.toChar); c = rawIn.read() }
+        sb.toString
+      }
+      out.println(s"CREATE g $root/edges")
+      assert(readLineRaw() == "OK created")
+      out.println("COMPUTE g degrees")
+      assert(readLineRaw() == "OK degrees")
+
+      // Corrupt the stored property's COLUMN CHUNKS but not its footer
+      // (parquet footers live at the tail): the schema read before the
+      // "OK arrow" line still succeeds, so the failure necessarily lands
+      // AFTER streaming began — the exact mid-stream contract under test.
+      val snapDir = java.nio.file.Paths.get(s"$root/cat/g.prop.degrees")
+      val walk = Files.walk(snapDir)
+      val parts =
+        try walk.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.matches("part-.*\\.parquet"))
+        finally walk.close()
+      assert(parts.nonEmpty)
+      // only the largest part: an EMPTY part file's footer starts right
+      // after the 4-byte magic, and a corrupted footer would fail the
+      // schema read BEFORE the OK line (the line-mode ERR path, already
+      // covered above) instead of mid-stream
+      val victim = parts.maxBy(Files.size(_))
+      val bytes = Files.readAllBytes(victim)
+      java.util.Arrays.fill(bytes, 4, math.min(12, bytes.length),
+        0xFF.toByte)
+      Files.write(victim, bytes)
+
+      out.println("GETB g degrees")
+      assert(readLineRaw() == "OK arrow")
+      val alloc = new RootAllocator()
+      val reader = new ArrowStreamReader(rawIn, alloc)
+      val outcome = scala.util.Try {
+        var n = 0
+        while (reader.loadNextBatch())
+          n += reader.getVectorSchemaRoot.getRowCount
+        n
+      }
+      // either the cut landed mid-message (reader throws) or on a clean
+      // boundary (reader sees EOF as end-of-stream and reports rows
+      // short) — in BOTH cases the socket is closed with no DONE line,
+      // which is what a client must key completeness on
+      outcome.foreach { rows =>
+        assert(rows < 5, s"corrupted scan streamed all $rows rows")
+        assert(rawIn.read() == -1, "expected EOF after an aborted stream")
+      }
+      scala.util.Try(reader.close(false))
+      alloc.close()
+      sock.close()
     } finally srv.close()
   }
 

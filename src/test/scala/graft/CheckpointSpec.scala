@@ -88,14 +88,26 @@ class CheckpointSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(onDisk == full)
 
-    // resume: picks up the composed labeling, pays one confirming batch
-    // that observes changed == 0, and returns identical labels
+    // the checkpoint is marked TERMINAL (converged=true): resume returns
+    // it directly — no confirming round, and crucially no dependence on
+    // iteration < maxIterations (a contracted run whose totalIters
+    // reached the cap would otherwise skip the loop and misreport a
+    // finished run as converged=false)
+    assert(meta.converged)
     val resumed = Wcc.run(g, cfg, checkpointDir = Some(dir))
     assert(resumed.stats.converged)
-    assert(resumed.stats.iterations > meta.iteration)
+    assert(resumed.stats.iterations == meta.iteration)
     val got = resumed.components.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == full)
+
+    // the maxIterations edge itself: resuming with a cap at/below the
+    // terminal iteration must still report the finished run as converged
+    val capped = Wcc.run(g,
+      cfg.copy(maxIterations = meta.iteration), checkpointDir = Some(dir))
+    assert(capped.stats.converged)
+    assert(capped.components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == full)
   }
 
   test("SCC resume mid-outer-round equals uninterrupted run exactly") {

@@ -170,8 +170,21 @@ class GraftClient:
                 raise GraftError(status[3:].strip())
             if status != "OK arrow":
                 raise GraftError("malformed reply: " + status)
-            with pa_ipc.open_stream(s.makefile("rb")) as reader:
-                return reader.read_all()
+            # read the stream AND the line-mode "DONE <rows>" trailer from
+            # the SAME buffered file object (read-ahead stays coherent).
+            # The trailer is the completeness check: a server-side failure
+            # at a clean batch boundary yields a well-formed (EOS-marked or
+            # EOF-terminated) stream, so only the row count distinguishes
+            # complete from truncated.
+            f = s.makefile("rb")
+            with pa_ipc.open_stream(f) as reader:
+                table = reader.read_all()
+            done = f.readline().decode("utf-8", "replace").strip()
+            if done != "DONE %d" % table.num_rows:
+                raise GraftError(
+                    "truncated arrow stream: read %d rows, trailer %r"
+                    % (table.num_rows, done))
+            return table
         finally:
             s.close()
 
