@@ -70,7 +70,9 @@ object Verify {
             require(code == 0, s"client ${args.head} exited $code")
           }
           run("create", "g", s"$root/edges")
+          run("list")
           run("to_undirected", "g")
+          run("list")
           run("compute", "g", "triangle_count")
           run("compute", "g", "wcc")
           run("props", "g")
@@ -79,6 +81,7 @@ object Verify {
             Seq("python3", "-c", "import pyarrow.ipc").!(quiet) == 0
           if (hasPyarrow) run("getb", "g", "wcc", "5")
           else println("[client] pyarrow unavailable; GETB lane skipped")
+          run("remove", "g")
           println("[client] daemon round-trip OK" +
             (if (hasPyarrow) " (TSV + binary Arrow GETB)" else " (TSV)"))
         } finally srv.close()

@@ -45,6 +45,24 @@ trait TableIO {
   def list(): Seq[String]
   def drop(name: String): Unit
   def exists(name: String): Boolean
+
+  /** Current snapshot id — changes on every committed mutation, so it keys
+    * caches of snapshot-derived facts (e.g. the daemon's node-count cache).
+    */
+  def version(name: String): Long
+
+  /** Row count of the current snapshot, straight from the manifest — no
+    * scan (the reference's in-memory `edge_count()`, catalog.rs:134-142).
+    */
+  def rows(name: String): Long
+
+  /** Small string attributes riding on the table (e.g. graph orientation).
+    * Attributes survive appends/compaction (they describe the table, not a
+    * snapshot) and are cleared by a full `write` (a replaced table is a new
+    * table).
+    */
+  def attr(name: String, key: String): Option[String]
+  def setAttr(name: String, key: String, value: String): Unit
 }
 
 /** Parquet-directory backend. Snapshot semantics: each write/append creates
@@ -59,9 +77,15 @@ class ParquetTableIO(root: String) extends TableIO {
   private def metaPath(name: String) = dir(name).resolve("_graft_meta.json")
 
   private def commit(
-      name: String, snapshot: Long, rows: Long, dirs: Seq[String]): Unit = {
+      name: String, snapshot: Long, rows: Long, dirs: Seq[String],
+      attrs: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(dir(name))
     val dirsJson = dirs.map(d => s""""$d"""").mkString("[", ",", "]")
+    // `attrs` is the LAST sidecar field: the ad-hoc field parser
+    // (metaField) scans forward to the next ',' / '}', which is only
+    // correct while every earlier field is scalar or the flat dirs array.
+    val attrsJson = attrs.toSeq.sorted
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     // Write-to-temp + ATOMIC_MOVE, never truncate-in-place (round-4
     // advice): the serving daemon runs GET/LIST fully concurrent with
     // COMPUTE's writeProperty, and a reader racing a plain writeString
@@ -71,7 +95,7 @@ class ParquetTableIO(root: String) extends TableIO {
     val tmp = dir(name).resolve(s"._graft_meta.$snapshot.tmp")
     Files.writeString(tmp,
       s"""{"name":"$name","snapshot":$snapshot,"rows":$rows,""" +
-        s""""dirs":$dirsJson}""")
+        s""""dirs":$dirsJson,"attrs":$attrsJson}""")
     Files.move(tmp, metaPath(name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -92,7 +116,7 @@ class ParquetTableIO(root: String) extends TableIO {
     df.write.mode("overwrite").parquet(dataDir.toString)
     val newRows = df.sparkSession.read.parquet(dataDir.toString).count()
     commit(name, snap, currentRows(name) + newRows,
-      currentDirs(name) :+ s"snap-$snap")
+      currentDirs(name) :+ s"snap-$snap", currentAttrs(name))
   }
 
   override def appendTagged(
@@ -118,7 +142,7 @@ class ParquetTableIO(root: String) extends TableIO {
       df.write.mode("overwrite").parquet(dataDir.toString)
       val newRows = df.sparkSession.read.parquet(dataDir.toString).count()
       commit(name, snap, currentRows(name) + newRows,
-        currentDirs(name) :+ s"snap-$snap-$tag")
+        currentDirs(name) :+ s"snap-$snap-$tag", currentAttrs(name))
     } // else: tag already committed — replayed micro-batch, skip
   }
 
@@ -130,7 +154,7 @@ class ParquetTableIO(root: String) extends TableIO {
     val dataDir = dir(name).resolve(s"snap-$snap")
     all.write.mode("overwrite").parquet(dataDir.toString)
     val rows = spark.read.parquet(dataDir.toString).count()
-    commit(name, snap, rows, Seq(s"snap-$snap"))
+    commit(name, snap, rows, Seq(s"snap-$snap"), currentAttrs(name))
   }
 
   private def metaField(name: String, field: String): String = {
@@ -144,6 +168,21 @@ class ParquetTableIO(root: String) extends TableIO {
 
   private def currentRows(name: String): Long =
     metaField(name, "rows").trim.toLong
+
+  private def currentAttrs(name: String): Map[String, String] = {
+    val s = Files.readString(metaPath(name))
+    val i = s.indexOf("\"attrs\":{")
+    if (i < 0) Map.empty // pre-attrs sidecar
+    else {
+      val body = s.substring(i + 9, s.indexOf("}", i))
+      if (body.trim.isEmpty) Map.empty
+      else body.split(",").map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.trim.stripPrefix("\"").stripSuffix("\"") ->
+          v.trim.stripPrefix("\"").stripSuffix("\"")
+      }.toMap
+    }
+  }
 
   private def currentDirs(name: String): Seq[String] = {
     val s = Files.readString(metaPath(name))
@@ -187,6 +226,25 @@ class ParquetTableIO(root: String) extends TableIO {
     }
 
   override def exists(name: String): Boolean = Files.exists(metaPath(name))
+
+  override def version(name: String): Long = currentSnapshot(name)
+
+  override def rows(name: String): Long = currentRows(name)
+
+  override def attr(name: String, key: String): Option[String] =
+    currentAttrs(name).get(key)
+
+  override def setAttr(name: String, key: String, value: String): Unit = {
+    require(key.matches("[A-Za-z0-9_-]+"), s"bad attr key: $key")
+    // values live in the flat attrs object the ad-hoc parser reads up to
+    // the first '}' — keep them brace/quote/comma-free
+    require(value.matches("[A-Za-z0-9_. -]*"), s"bad attr value: $value")
+    // re-commit the CURRENT snapshot with the merged attrs — same atomic
+    // temp+move, so concurrent readers see old-attrs or new-attrs manifests,
+    // never a torn one
+    commit(name, currentSnapshot(name), currentRows(name),
+      currentDirs(name), currentAttrs(name) + (key -> value))
+  }
 }
 
 /** Graph catalog over TableIO: the Flight server's create/list/remove/
@@ -197,7 +255,28 @@ class ParquetTableIO(root: String) extends TableIO {
   * algorithm ran, not just dumped to a directory).
   */
 class GraphCatalog(io: TableIO) {
-  def create(name: String, edges: DataFrame): Unit = io.write(name, edges)
+  def create(name: String, edges: DataFrame): Unit = {
+    io.write(name, edges)
+    // orientation rides on the table (the reference's GraphType tag,
+    // catalog.rs:125-142); CREATE always loads directed —
+    // `to_undirected` flips it (actions.rs:99-103 Orientation default)
+    io.setAttr(name, "gtype", "directed")
+  }
+
+  /** Graph orientation tag — "directed" unless a `toUndirected` transform
+    * replaced the edge table (pre-attrs tables read as directed).
+    */
+  def graphType(name: String): String =
+    io.attr(name, "gtype").getOrElse("directed")
+
+  def setGraphType(name: String, gtype: String): Unit =
+    io.setAttr(name, "gtype", gtype)
+
+  /** Manifest-tracked edge count — no scan (catalog.rs:134-142). */
+  def edgeCount(name: String): Long = io.rows(name)
+
+  /** Snapshot id of the edge table — keys snapshot-derived caches. */
+  def version(name: String): Long = io.version(name)
 
   /** Append an edge increment (e.g. a StreamingIngest batch) to a named
     * graph; algorithms on the next `graph()` call see the union.

@@ -15,11 +15,20 @@ import java.util.concurrent.atomic.AtomicBoolean
   * Protocol (one text command per line; responses are `OK ...` / `ERR ...`
   * and, for row-returning commands, TSV rows terminated by a lone `.`):
   *
-  *  - `LIST`                      — graph names (list_graphs,
-  *                                  server.rs:296-312)
+  *  - `LIST`                      — one GraphInfo line per graph:
+  *                                  `name\tgtype\tnode_count\tedge_count`
+  *                                  (list_graphs / ListActionResult,
+  *                                  server.rs:325-331, actions.rs:190-204)
   *  - `PROPS <graph>`             — computed property names for a graph
   *  - `CREATE <graph> <parquet>`  — register an edge table from a parquet
-  *                                  path (do_put create, server.rs:314-339)
+  *                                  path; replies the reference's
+  *                                  CreateActionResult struct
+  *                                  `OK {"node_count":..,"edge_count":..,
+  *                                  "create_millis":..}` (server.rs:296-323,
+  *                                  actions.rs:159-175)
+  *  - `REMOVE <graph>`            — drop the graph and its computed
+  *                                  properties (remove_graph,
+  *                                  server.rs:333-339)
   *  - `COMPUTE <graph> <algo>`    — run an algorithm and store the result
   *                                  as a named property (do_action compute
   *                                  dispatch, server.rs:187-258); algo in
@@ -106,7 +115,14 @@ class CatalogServer(
             out.println("OK bye"); line = null
           case Seq("LIST") =>
             out.println("OK")
-            catalog.list().foreach(out.println)
+            // one GraphInfo line per graph (actions.rs:190-204): a graph
+            // REMOVE'd between list() and its info read just drops out of
+            // the listing, like the reference's read-locked snapshot
+            catalog.list().foreach { g =>
+              try out.println(Seq(g, catalog.graphType(g), nodeCount(g),
+                catalog.edgeCount(g)).mkString("\t"))
+              catch { case _: Exception => () }
+            }
             out.println(".")
             line = in.readLine()
           case Seq("PROPS", g) =>
@@ -116,10 +132,26 @@ class CatalogServer(
             line = in.readLine()
           case Seq("CREATE", g, path) =>
             reply(out) {
-              mutate.synchronized {
+              val t0 = System.nanoTime()
+              val (nc, ec) = mutate.synchronized {
                 catalog.create(g, spark.read.parquet(path))
+                val nc = catalog.graph(spark, g).nodeCount
+                ncCache.put(g, (catalog.version(g), nc))
+                (nc, catalog.edgeCount(g))
               }
-              "OK created"
+              // the reference's CreateActionResult (actions.rs:159-175)
+              s"""OK {"node_count":$nc,"edge_count":$ec,""" +
+                s""""create_millis":${(System.nanoTime() - t0) / 1000000}}"""
+            }
+            line = in.readLine()
+          case Seq("REMOVE", g) =>
+            reply(out) {
+              mutate.synchronized {
+                require(catalog.list().contains(g), s"graph $g not found")
+                catalog.remove(g)
+                ncCache.remove(g)
+              }
+              "OK removed"
             }
             line = in.readLine()
           case Seq("COMPUTE", g, algo) =>
@@ -217,6 +249,27 @@ class CatalogServer(
     */
   private val mutate = new Object
 
+  /** Node counts for LIST/CREATE replies (the reference serves them from
+    * the in-memory CSR for free, catalog.rs:125-132; ours is a max-id agg
+    * over the edge parquet). Keyed by graph name, valued (snapshot
+    * version, count): any committed mutation bumps the version and the
+    * next read recomputes — one live entry per graph, so a long-uptime
+    * daemon's cache is bounded by the catalog size.
+    */
+  private val ncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def nodeCount(g: String): Long = {
+    val v = catalog.version(g)
+    val cached = ncCache.get(g)
+    if (cached != null && cached._1 == v) cached._2
+    else {
+      val nc = catalog.graph(spark, g).nodeCount
+      ncCache.put(g, (v, nc))
+      nc
+    }
+  }
+
   /** do_action compute dispatch: run, store as a property, return its name
     * (the reference computes then serves by name, catalog.rs:270-288).
     *
@@ -254,12 +307,17 @@ class CatalogServer(
     */
   private def transform(g: String, kind: String): String = sweeping {
     val graph = catalog.graph(spark, g)
+    val prevType = catalog.graphType(g)
     val t0 = System.nanoTime()
     val transformed = kind match {
       case "to_undirected" => graph.toUndirectedGraph.edges
       case "to_relabeled" => graph.relabeledByDegree.edges
     }
     catalog.create(g, transformed)
+    // create() tags the fresh table directed — restate the orientation:
+    // to_undirected flips it, to_relabeled is a permutation and keeps it
+    catalog.setGraphType(g,
+      if (kind == "to_undirected") "undirected" else prevType)
     s"""{"${kind}_millis":${(System.nanoTime() - t0) / 1000000}}"""
   }
 

@@ -19,6 +19,14 @@ class CatalogServerSpec extends SparkSpec {
     buf.toSeq
   }
 
+  /** CREATE replies the reference's CreateActionResult struct
+    * (actions.rs:159-175) — node/edge counts are deterministic, the
+    * create_millis timing is not.
+    */
+  private def assertCreated(reply: String, nc: Long, ec: Long): Unit =
+    assert(reply.startsWith(
+      s"""OK {"node_count":$nc,"edge_count":$ec,"create_millis":"""), reply)
+
   test("create -> compute -> stream property over a live socket") {
     val s = spark
     import s.implicits._
@@ -37,11 +45,12 @@ class CatalogServerSpec extends SparkSpec {
       val out = new PrintWriter(sock.getOutputStream, true)
 
       out.println(s"CREATE g $root/edges")
-      assert(in.readLine() == "OK created")
+      assertCreated(in.readLine(), nc = 5, ec = 3)
 
+      // LIST carries one GraphInfo line per graph (actions.rs:190-204)
       out.println("LIST")
       assert(in.readLine() == "OK")
-      assert(readBlock(in) == Seq("g"))
+      assert(readBlock(in) == Seq("g\tdirected\t5\t3"))
 
       out.println("COMPUTE g wcc")
       assert(in.readLine() == "OK wcc")
@@ -77,7 +86,7 @@ class CatalogServerSpec extends SparkSpec {
       assert(in.readLine().startsWith("ERR"))
       out.println("LIST")
       assert(in.readLine() == "OK")
-      assert(readBlock(in) == Seq("g"))
+      assert(readBlock(in) == Seq("g\tdirected\t5\t3"))
 
       // malformed GET limit -> ERR, connection stays usable (round-3
       // verdict #3: the uncaught NumberFormatException dropped the socket)
@@ -86,6 +95,18 @@ class CatalogServerSpec extends SparkSpec {
       out.println("GET g wcc 1")
       assert(in.readLine() == "OK")
       assert(readBlock(in).size == 1)
+
+      // REMOVE drops the graph AND its computed properties
+      // (remove_graph, server.rs:333-339)
+      out.println("REMOVE g")
+      assert(in.readLine() == "OK removed")
+      out.println("LIST")
+      assert(in.readLine() == "OK")
+      assert(readBlock(in).isEmpty)
+      out.println("GET g wcc")
+      assert(in.readLine().startsWith("ERR"), "removed property must not serve")
+      out.println("REMOVE g")
+      assert(in.readLine().startsWith("ERR"), "double remove must ERR")
 
       out.println("QUIT")
       assert(in.readLine() == "OK bye")
@@ -115,13 +136,18 @@ class CatalogServerSpec extends SparkSpec {
       val out = new PrintWriter(sock.getOutputStream, true)
 
       out.println(s"CREATE g $root/edges")
-      assert(in.readLine() == "OK created")
+      assertCreated(in.readLine(), nc = 4, ec = 4)
 
       // the reference's ToUndirectedResult timing struct comes back
       out.println("TO_UNDIRECTED g")
       val undirReply = in.readLine()
       assert(undirReply.startsWith("OK {\"to_undirected_millis\":"),
         undirReply)
+      // the orientation tag flips and LIST reflects the new snapshot's
+      // counts (each edge materialized both ways: 4 -> 8)
+      out.println("LIST")
+      assert(in.readLine() == "OK")
+      assert(readBlock(in) == Seq("g\tundirected\t4\t8"))
       // the catalog entry was replaced in place: symmetric edge table
       out.println("GET g")
       assert(in.readLine().startsWith("ERR")) // GET needs a property
@@ -147,6 +173,10 @@ class CatalogServerSpec extends SparkSpec {
       // degree-descending relabel replaces the graph in place: hub 2 -> 0
       out.println("TO_RELABELED g")
       assert(in.readLine().startsWith("OK {\"to_relabeled_millis\":"))
+      // a relabel is an id permutation: orientation and counts unchanged
+      out.println("LIST")
+      assert(in.readLine() == "OK")
+      assert(readBlock(in) == Seq("g\tundirected\t4\t8"))
       out.println("COMPUTE g degrees")
       assert(in.readLine() == "OK degrees")
       out.println("GET g degrees")
@@ -186,8 +216,10 @@ class CatalogServerSpec extends SparkSpec {
           new PrintWriter(sock.getOutputStream, true))
       }
       val (sock, in, out) = connect()
-      out.println(s"CREATE a $root/e1"); assert(in.readLine() == "OK created")
-      out.println(s"CREATE b $root/e2"); assert(in.readLine() == "OK created")
+      out.println(s"CREATE a $root/e1")
+      assertCreated(in.readLine(), nc = 5, ec = 4)
+      out.println(s"CREATE b $root/e2")
+      assertCreated(in.readLine(), nc = 7, ec = 2)
 
       // Round-3 verdict #1: every COMPUTE used to persist a fresh
       // LinkGraph's caches (plus PageRank's degree table and per-round
@@ -253,7 +285,7 @@ class CatalogServerSpec extends SparkSpec {
       }
 
       out.println(s"CREATE g $root/edges")
-      assert(readLineRaw() == "OK created")
+      assert(readLineRaw().startsWith("OK {\"node_count\":5"))
       out.println("COMPUTE g page_rank")
       assert(readLineRaw() == "OK page_rank")
 
@@ -336,7 +368,7 @@ class CatalogServerSpec extends SparkSpec {
         sb.toString
       }
       out.println(s"CREATE g $root/edges")
-      assert(readLineRaw() == "OK created")
+      assert(readLineRaw().startsWith("OK {\"node_count\":5"))
       out.println("COMPUTE g degrees")
       assert(readLineRaw() == "OK degrees")
 
@@ -410,9 +442,16 @@ class CatalogServerSpec extends SparkSpec {
           .!(ProcessLogger(l => outBuf.append(l).append('\n'), _ => ()))
         (code, outBuf.toString)
       }
-      assert(run("create", "g", s"$root/edges") == ((0, "created\n")))
+      val (ccode, created) = run("create", "g", s"$root/edges")
+      assert(ccode == 0)
+      assert(created.startsWith("{\"node_count\":5,\"edge_count\":3,"),
+        created)
       assert(run("compute", "g", "wcc") == ((0, "wcc\n")))
-      assert(run("list")._2 == "g\n")
+      assert(run("list")._2 == "g\tdirected\t5\t3\n")
+      assert(run("remove", "g")._1 == 0)
+      assert(run("list")._2 == "")
+      assert(run("create", "g", s"$root/edges")._1 == 0)
+      assert(run("compute", "g", "wcc") == ((0, "wcc\n")))
       assert(run("props", "g")._2 == "wcc\n")
       val (code, got) = run("get", "g", "wcc")
       assert(code == 0)

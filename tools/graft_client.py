@@ -22,6 +22,7 @@ CLI use (one command per invocation)::
     graft_client.py HOST:PORT list
     graft_client.py HOST:PORT props GRAPH
     graft_client.py HOST:PORT create GRAPH PARQUET_PATH
+    graft_client.py HOST:PORT remove GRAPH
     graft_client.py HOST:PORT compute GRAPH ALGO
     graft_client.py HOST:PORT to_undirected GRAPH
     graft_client.py HOST:PORT to_relabeled GRAPH
@@ -95,9 +96,17 @@ class GraftClient:
 
     # -- commands ----------------------------------------------------------
     def list_graphs(self):
+        """One GraphInfo dict per graph — the reference's ListActionResult
+        (actions.rs:190-204): graph_name, graph_type, node_count,
+        edge_count."""
         self._send("LIST")
         self._status()
-        return self._body()
+        infos = []
+        for row in self._body():
+            name, gtype, nc, ec = row.split("\t")
+            infos.append({"graph_name": name, "graph_type": gtype,
+                          "node_count": int(nc), "edge_count": int(ec)})
+        return infos
 
     def props(self, graph):
         self._send("PROPS", graph)
@@ -105,8 +114,17 @@ class GraftClient:
         return self._body()
 
     def create(self, graph, parquet_path):
+        """Register an edge table; returns the reference's
+        CreateActionResult struct as a JSON string
+        ('{"node_count":..,"edge_count":..,"create_millis":..}')."""
         self._send("CREATE", graph, parquet_path)
-        self._status()
+        return self._status()
+
+    def remove(self, graph):
+        """Drop the graph and its computed properties (the reference's
+        remove_graph do_action, server.rs:333-339)."""
+        self._send("REMOVE", graph)
+        return self._status()
 
     def compute(self, graph, algo):
         """Run an algorithm server-side; returns the stored property name
@@ -214,12 +232,15 @@ def main(argv):
     cmd, args = argv[2], argv[3:]
     with GraftClient(host, port or 4632) as c:
         if cmd == "list":
-            print("\n".join(c.list_graphs()))
+            for g in c.list_graphs():
+                print("%(graph_name)s\t%(graph_type)s\t%(node_count)d\t"
+                      "%(edge_count)d" % g)
         elif cmd == "props":
             print("\n".join(c.props(args[0])))
         elif cmd == "create":
-            c.create(args[0], args[1])
-            print("created")
+            print(c.create(args[0], args[1]))
+        elif cmd == "remove":
+            print(c.remove(args[0]))
         elif cmd == "compute":
             print(c.compute(args[0], args[1]))
         elif cmd == "to_undirected":
