@@ -278,6 +278,19 @@ class GraphCatalog(io: TableIO) {
   /** Snapshot id of the edge table — keys snapshot-derived caches. */
   def version(name: String): Long = io.version(name)
 
+  /** Declare the graph's node universe explicitly — the graph500 m/16
+    * convention (input/graph500.rs:63-127) and the reference's NV-backed
+    * counts (csr.rs:546-574), where the node count is metadata, not
+    * max-id+1 over whatever edges happen to exist. Rides the manifest
+    * attrs, so every later `graph()` (and the daemon's GraphInfo lines)
+    * honors it.
+    */
+  def setNodeCount(name: String, n: Long): Unit =
+    io.setAttr(name, "node_count", n.toString)
+
+  def explicitNodeCount(name: String): Option[Long] =
+    io.attr(name, "node_count").map(_.toLong)
+
   /** Append an edge increment (e.g. a StreamingIngest batch) to a named
     * graph; algorithms on the next `graph()` call see the union.
     */
@@ -294,7 +307,9 @@ class GraphCatalog(io: TableIO) {
     io.compact(spark, name)
 
   def graph(spark: SparkSession, name: String): graft.graph.LinkGraph =
-    graft.graph.LinkGraph(io.read(spark, name))
+    graft.graph.LinkGraph(io.read(spark, name),
+      nodeCount =
+        io.attr(name, "node_count").map(_.toLong).getOrElse(-1L))
 
   /** Raw named-table read (non-edge schemas, e.g. streaming staging). */
   def table(spark: SparkSession, name: String): DataFrame =

@@ -20,12 +20,20 @@ import java.util.concurrent.atomic.AtomicBoolean
   *                                  (list_graphs / ListActionResult,
   *                                  server.rs:325-331, actions.rs:190-204)
   *  - `PROPS <graph>`             — computed property names for a graph
-  *  - `CREATE <graph> <parquet>`  — register an edge table from a parquet
-  *                                  path; replies the reference's
-  *                                  CreateActionResult struct
-  *                                  `OK {"node_count":..,"edge_count":..,
-  *                                  "create_millis":..}` (server.rs:296-323,
-  *                                  actions.rs:159-175)
+  *  - `CREATE <graph> <path> [k=v ...]` — register an edge table; replies
+  *                                  the reference's CreateActionResult
+  *                                  struct `OK {"node_count":..,
+  *                                  "edge_count":..,"create_millis":..}`
+  *                                  (server.rs:296-323, actions.rs:159-175).
+  *                                  Options mirror
+  *                                  CreateGraphFromFileConfig
+  *                                  (actions.rs:110-120):
+  *                                  `format=parquet|edge_list|`
+  *                                  `edge_list_weighted|graph500`,
+  *                                  `layout=sorted|unsorted|deduplicated`,
+  *                                  `orientation=directed|undirected`.
+  *                                  graph500 registers its m/16 explicit
+  *                                  node count with the catalog
   *  - `REMOVE <graph>`            — drop the graph and its computed
   *                                  properties (remove_graph,
   *                                  server.rs:333-339)
@@ -41,8 +49,10 @@ import java.util.concurrent.atomic.AtomicBoolean
   *                                  `OK {"triangle_count":..,
   *                                  "compute_millis":..}` (server.rs:
   *                                  461-474)
-  *  - `TO_UNDIRECTED <graph>`     — replace the graph with its undirected
-  *                                  form in place, reply the reference's
+  *  - `TO_UNDIRECTED <graph> [layout=..]` — replace the graph with its
+  *                                  undirected form in place (optional CSR
+  *                                  layout applied to the merged adjacency,
+  *                                  graph_ops.rs:229), reply the reference's
   *                                  `{"to_undirected_millis":..}` struct
   *                                  (do_action, server.rs:369-407)
   *  - `TO_RELABELED <graph>`      — replace the graph with its
@@ -130,15 +140,11 @@ class CatalogServer(
             catalog.listProperties(g).foreach(out.println)
             out.println(".")
             line = in.readLine()
-          case Seq("CREATE", g, path) =>
+          case Seq("CREATE", g, path, opts @ _*) =>
             reply(out) {
               val t0 = System.nanoTime()
-              val (nc, ec) = mutate.synchronized {
-                catalog.create(g, spark.read.parquet(path))
-                val nc = catalog.graph(spark, g).nodeCount
-                ncCache.put(g, (catalog.version(g), nc))
-                (nc, catalog.edgeCount(g))
-              }
+              val (nc, ec) =
+                mutate.synchronized { createGraph(g, path, parseOpts(opts)) }
               // the reference's CreateActionResult (actions.rs:159-175)
               s"""OK {"node_count":$nc,"edge_count":$ec,""" +
                 s""""create_millis":${(System.nanoTime() - t0) / 1000000}}"""
@@ -160,8 +166,10 @@ class CatalogServer(
               s"OK $payload"
             }
             line = in.readLine()
-          case Seq("TO_UNDIRECTED", g) =>
-            reply(out) { s"OK ${transform(g, "to_undirected")}" }
+          case Seq("TO_UNDIRECTED", g, opts @ _*) =>
+            reply(out) {
+              s"OK ${transform(g, "to_undirected", parseOpts(opts))}"
+            }
             line = in.readLine()
           case Seq("TO_RELABELED", g) =>
             reply(out) { s"OK ${transform(g, "to_relabeled")}" }
@@ -270,6 +278,78 @@ class CatalogServer(
     }
   }
 
+  /** Trailing `key=value` command options (the line-protocol rendering of
+    * the reference's JSON action configs, actions.rs:110-120).
+    */
+  private def parseOpts(opts: Seq[String]): Map[String, String] =
+    opts.map { o =>
+      val i = o.indexOf('=')
+      require(i > 0, s"bad option '$o' (want key=value)")
+      o.substring(0, i) -> o.substring(i + 1)
+    }.toMap
+
+  private def requireKeys(kv: Map[String, String], allowed: Set[String]):
+      Unit =
+    kv.keySet.diff(allowed).foreach(k =>
+      throw new IllegalArgumentException(s"unknown option '$k'"))
+
+  /** CsrLayoutRef names (actions.rs:91-96); `as_is` accepted as the
+    * engine-native alias for Unsorted.
+    */
+  private def layoutOf(s: String): graft.Layout.Value = s match {
+    case "sorted" => graft.Layout.Sorted
+    case "unsorted" | "as_is" => graft.Layout.AsIs
+    case "deduplicated" => graft.Layout.Deduplicated
+    case other =>
+      throw new IllegalArgumentException(s"unknown layout '$other'")
+  }
+
+  /** CREATE body: the reference's CreateGraphFromFileConfig
+    * (actions.rs:110-120) — file format (parquet default; edge_list /
+    * edge_list_weighted / graph500 via GraphSources), CSR layout, and
+    * orientation. graph500 carries its m/16 explicit node count into the
+    * catalog (input/graph500.rs:63-127); orientation=undirected stores the
+    * expanded symmetric table (our undirected convention) and tags the
+    * graph accordingly.
+    */
+  private def createGraph(
+      g: String, path: String, kv: Map[String, String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    requireKeys(kv, Set("format", "layout", "orientation"))
+    val (raw, explicitNc) = kv.getOrElse("format", "parquet") match {
+      case "parquet" => (spark.read.parquet(path), -1L)
+      // GraphSources.edgeList already parses optional per-line weights,
+      // so EdgeList and EdgeListWeighted share a reader
+      case "edge_list" | "edge_list_weighted" =>
+        (graft.sources.GraphSources.edgeList(spark, path), -1L)
+      case "graph500" =>
+        graft.sources.GraphSources.graph500(spark, path)
+      case other =>
+        throw new IllegalArgumentException(s"unknown format '$other'")
+    }
+    val layout = layoutOf(kv.getOrElse("layout", "unsorted"))
+    val undirectedG = kv.getOrElse("orientation", "directed") match {
+      case "directed" => false
+      case "undirected" => true
+      case other =>
+        throw new IllegalArgumentException(s"unknown orientation '$other'")
+    }
+    val base = graft.graph.LinkGraph(raw, layout)
+    val stored =
+      if (!undirectedG) base.edges
+      else if (layout == graft.Layout.Deduplicated)
+        // Deduplicated applies to the MERGED adjacency (csr.rs:897-948):
+        // expand both directions first, then drop duplicates/self-loops
+        base.undirected.filter(col("src") =!= col("dst"))
+          .dropDuplicates("src", "dst")
+      else base.undirected
+    catalog.create(g, stored)
+    if (undirectedG) catalog.setGraphType(g, "undirected")
+    if (explicitNc >= 0) catalog.setNodeCount(g, explicitNc)
+    val nc = nodeCount(g)
+    (nc, catalog.edgeCount(g))
+  }
+
   /** do_action compute dispatch: run, store as a property, return its name
     * (the reference computes then serves by name, catalog.rs:270-288).
     *
@@ -305,12 +385,26 @@ class CatalogServer(
     * reference's PropertyStore is likewise not invalidated); recompute
     * after relabeling.
     */
-  private def transform(g: String, kind: String): String = sweeping {
+  private def transform(g: String, kind: String,
+      opts: Map[String, String] = Map.empty): String = sweeping {
+    import org.apache.spark.sql.functions.col
+    requireKeys(opts, Set("layout"))
     val graph = catalog.graph(spark, g)
     val prevType = catalog.graphType(g)
+    val prevNc = catalog.explicitNodeCount(g)
     val t0 = System.nanoTime()
     val transformed = kind match {
-      case "to_undirected" => graph.toUndirectedGraph.edges
+      case "to_undirected" =>
+        val und = graph.toUndirectedGraph.edges
+        // the reference's to_undirected takes an optional CsrLayout
+        // (graph_ops.rs:229, actions.rs:91-96) applied to the merged
+        // adjacency — dedup AFTER expansion
+        layoutOf(opts.getOrElse("layout", "unsorted")) match {
+          case graft.Layout.Deduplicated =>
+            und.filter(col("src") =!= col("dst"))
+              .dropDuplicates("src", "dst")
+          case _ => und
+        }
       case "to_relabeled" => graph.relabeledByDegree.edges
     }
     catalog.create(g, transformed)
@@ -318,6 +412,9 @@ class CatalogServer(
     // to_undirected flips it, to_relabeled is a permutation and keeps it
     catalog.setGraphType(g,
       if (kind == "to_undirected") "undirected" else prevType)
+    // both transforms preserve the node universe, so an explicit declared
+    // count (graph500) survives the snapshot swap
+    prevNc.foreach(catalog.setNodeCount(g, _))
     s"""{"${kind}_millis":${(System.nanoTime() - t0) / 1000000}}"""
   }
 

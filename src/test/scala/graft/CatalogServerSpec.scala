@@ -196,6 +196,83 @@ class CatalogServerSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("CREATE file-format/layout/orientation options; explicit node count") {
+    // The reference's CreateGraphFromFileConfig carries file_format,
+    // csr_layout, and orientation (actions.rs:110-120); graph500 inputs
+    // declare their node universe as m/16 (input/graph500.rs:63-127). The
+    // daemon's CREATE takes the same knobs as trailing key=value options.
+    val root = Files.createTempDirectory("graft-serve-create").toString
+    val cat = new GraphCatalog(new ParquetTableIO(s"$root/cat"))
+    // edge-list text with a duplicate edge and a self-loop
+    Files.writeString(java.nio.file.Paths.get(s"$root/edges.el"),
+      "0 1\n1 2\n1 0\n2 2\n")
+    // graph500 binary: 32 packed (0,1) records -> node count 32/16 = 2
+    val bytes = new java.io.ByteArrayOutputStream()
+    def putU32(v: Long): Unit =
+      (0 until 4).foreach(i => bytes.write(((v >> (8 * i)) & 0xFF).toInt))
+    (0 until 32).foreach { _ => putU32(0L); putU32(1L); putU32(0L) }
+    Files.write(java.nio.file.Paths.get(s"$root/k.graph500"),
+      bytes.toByteArray)
+
+    val srv = new CatalogServer(spark, cat)
+    try {
+      val sock = new Socket("127.0.0.1", srv.boundPort)
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, "UTF-8"))
+      val out = new PrintWriter(sock.getOutputStream, true)
+
+      // text edge list, stored as-is: 4 edges (self-loop kept), nodes 0-2
+      out.println(s"CREATE a $root/edges.el format=edge_list")
+      assertCreated(in.readLine(), nc = 3, ec = 4)
+
+      // undirected + deduplicated applies to the MERGED adjacency:
+      // {(0,1),(1,0),(1,2),(2,1)} after self-loop drop and dedup
+      out.println(s"CREATE b $root/edges.el format=edge_list " +
+        "orientation=undirected layout=deduplicated")
+      assertCreated(in.readLine(), nc = 3, ec = 4)
+      out.println("GET b") // sanity: still needs a property
+      assert(in.readLine().startsWith("ERR"))
+      out.println("COMPUTE b degrees")
+      assert(in.readLine() == "OK degrees")
+      out.println("GET b degrees")
+      assert(in.readLine() == "OK")
+      val degs = readBlock(in).map { l =>
+        val f = l.split("\t"); f(0).toLong -> f(3).toLong
+      }.toMap
+      assert(degs == Map(0L -> 2L, 1L -> 4L, 2L -> 2L))
+
+      // graph500 binary declares node_count = m/16, which must survive
+      // into LIST/GraphInfo and the computed vertex universe
+      out.println(s"CREATE k $root/k.graph500 format=graph500")
+      assertCreated(in.readLine(), nc = 2, ec = 32)
+      out.println("LIST")
+      assert(in.readLine() == "OK")
+      assert(readBlock(in).toSet == Set(
+        "a\tdirected\t3\t4", "b\tundirected\t3\t4", "k\tdirected\t2\t32"))
+      // ... and survives a transform's snapshot swap
+      out.println("TO_UNDIRECTED k layout=deduplicated")
+      assert(in.readLine().startsWith("OK {\"to_undirected_millis\":"))
+      out.println("LIST")
+      assert(in.readLine() == "OK")
+      assert(readBlock(in).contains("k\tundirected\t2\t2"))
+
+      // unknown option / format / layout -> ERR, connection stays usable
+      out.println(s"CREATE z $root/edges.el nope=1")
+      assert(in.readLine().startsWith("ERR"))
+      out.println(s"CREATE z $root/edges.el format=nope")
+      assert(in.readLine().startsWith("ERR"))
+      out.println("TO_UNDIRECTED a layout=nope")
+      assert(in.readLine().startsWith("ERR"))
+      out.println("LIST")
+      assert(in.readLine() == "OK")
+      assert(readBlock(in).size == 3)
+
+      out.println("QUIT")
+      assert(in.readLine() == "OK bye")
+      sock.close()
+    } finally srv.close()
+  }
+
   test("repeated COMPUTEs do not pin caches; concurrent COMPUTEs are safe") {
     val s = spark
     import s.implicits._

@@ -21,7 +21,8 @@ CLI use (one command per invocation)::
 
     graft_client.py HOST:PORT list
     graft_client.py HOST:PORT props GRAPH
-    graft_client.py HOST:PORT create GRAPH PARQUET_PATH
+    graft_client.py HOST:PORT create GRAPH PATH [format=..] [layout=..] \
+        [orientation=..]
     graft_client.py HOST:PORT remove GRAPH
     graft_client.py HOST:PORT compute GRAPH ALGO
     graft_client.py HOST:PORT to_undirected GRAPH
@@ -113,11 +114,16 @@ class GraftClient:
         self._status()
         return self._body()
 
-    def create(self, graph, parquet_path):
+    def create(self, graph, path, **opts):
         """Register an edge table; returns the reference's
         CreateActionResult struct as a JSON string
-        ('{"node_count":..,"edge_count":..,"create_millis":..}')."""
-        self._send("CREATE", graph, parquet_path)
+        ('{"node_count":..,"edge_count":..,"create_millis":..}').
+        Keyword options mirror CreateGraphFromFileConfig
+        (actions.rs:110-120): format= parquet (default) / edge_list /
+        edge_list_weighted / graph500; layout= sorted / unsorted /
+        deduplicated; orientation= directed / undirected."""
+        kv = ["%s=%s" % (k, v) for k, v in sorted(opts.items())]
+        self._send("CREATE", graph, path, *kv)
         return self._status()
 
     def remove(self, graph):
@@ -135,11 +141,15 @@ class GraftClient:
         self._send("COMPUTE", graph, algo)
         return self._status()
 
-    def to_undirected(self, graph):
+    def to_undirected(self, graph, layout=None):
         """Replace the graph with its undirected form in place (the
-        reference's to_undirected do_action); returns the
-        '{"to_undirected_millis":..}' timing struct."""
-        self._send("TO_UNDIRECTED", graph)
+        reference's to_undirected do_action; optional CsrLayout applied to
+        the merged adjacency); returns the '{"to_undirected_millis":..}'
+        timing struct."""
+        args = ["TO_UNDIRECTED", graph]
+        if layout is not None:
+            args.append("layout=%s" % layout)
+        self._send(*args)
         return self._status()
 
     def to_relabeled(self, graph):
@@ -238,7 +248,8 @@ def main(argv):
         elif cmd == "props":
             print("\n".join(c.props(args[0])))
         elif cmd == "create":
-            print(c.create(args[0], args[1]))
+            opts = dict(a.split("=", 1) for a in args[2:])
+            print(c.create(args[0], args[1], **opts))
         elif cmd == "remove":
             print(c.remove(args[0]))
         elif cmd == "compute":
