@@ -28,6 +28,32 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_edges" -> ((s, dir) => EventEdges.edges(s, dir)),
 
+    // S1 text edge-list round-trip, driver-gated: derive the reply edges,
+    // write them as `src dst weight` text (distributed), parse them back
+    // through the production reader. The oracle states only the derivation
+    // — a lossy writer or parser (weight rendering, CRLF, multiplicity)
+    // breaks the hash.
+    "src_el_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-el-rt").toString + "/edges.el"
+      graft.sources.GraphSources.writeEdgeList(EventEdges.edges(s, dir), tmp)
+      graft.sources.GraphSources.edgeList(s, tmp)
+    }),
+
+    // S5 snapshot serialize/deserialize round-trip, driver-gated: half the
+    // edges committed by write, half appended as a second snapshot dir —
+    // the read-back union must equal the input exactly (manifest commit,
+    // dir union, row multiplicity).
+    "src_snapshot_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snap-rt").toString
+      val io = new graft.io.ParquetTableIO(root)
+      val e = EventEdges.edges(s, dir)
+      io.write("g", e.filter(pmod(col("src"), lit(2)) === 0))
+      io.append("g", e.filter(pmod(col("src"), lit(2)) =!= 0))
+      io.read(s, "g")
+    }),
+
     "g_degrees" -> ((s, dir) => graph(s, dir).degrees),
 
     "g_to_undirected" -> ((s, dir) =>
@@ -316,6 +342,10 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "g_edges" -> EventEdges.edgesSql,
+
+    // round-trips must reproduce the derivation EXACTLY — same oracle
+    "src_el_roundtrip" -> EventEdges.edgesSql,
+    "src_snapshot_roundtrip" -> EventEdges.edgesSql,
 
     "g_degrees" ->
       s"""WITH $EDGES_CTE, $VERTS_CTE

@@ -35,6 +35,19 @@ object GraphSources {
           lit(1.0)).as("weight"))
   }
 
+  /** S1 sink: the inverse of [[edgeList]] — one `src dst weight` line per
+    * edge, written distributed (a directory of text parts; `edgeList` reads
+    * it back since spark.read.text takes directories). Doubles use Spark's
+    * shortest round-trip rendering, so read-back weights are bit-identical.
+    */
+  def writeEdgeList(edges: org.apache.spark.sql.DataFrame, path: String):
+      Unit =
+    edges.select(concat_ws(" ",
+        col("src").cast("string"),
+        col("dst").cast("string"),
+        col("weight").cast("string")).as("value"))
+      .write.mode("overwrite").text(path)
+
   /** S3: labeled-graph `.graph` text format
     * (crates/builder/src/input/dotgraph.rs:63-218):
     *   t <node_count> <edge_count>
