@@ -59,6 +59,12 @@ object SparkEntry {
     "g_to_undirected" -> ((s, dir) =>
       graph(s, dir).undirected),
 
+    // to_undirected with the Deduplicated CSR layout (graph_ops.rs:229):
+    // dedup applies to the MERGED adjacency, self-loops dropped, min
+    // weight kept per surviving edge
+    "g_to_undirected_dedup" -> ((s, dir) =>
+      graph(s, dir).toUndirectedGraph(Layout.Deduplicated).edges),
+
     // degree-descending relabel map (SURVEY.md §2.12, graph_ops.rs:511-638):
     // old id -> new id by (deg DESC, id ASC), via the DISTRIBUTED dense rank
     // (round-1 verdict #3 killed the single-partition global window).
@@ -363,6 +369,13 @@ object SparkEntry {
          |SELECT src, dst, weight FROM edges
          |UNION ALL SELECT dst AS src, src AS dst, weight FROM edges"""
         .stripMargin,
+
+    "g_to_undirected_dedup" ->
+      s"""WITH $EDGES_CTE,
+         |und AS (SELECT src, dst, weight FROM edges
+         |  UNION ALL SELECT dst AS src, src AS dst, weight FROM edges)
+         |SELECT src, dst, min(weight) AS weight FROM und
+         |WHERE src <> dst GROUP BY src, dst""".stripMargin,
 
     "g_relabel_map" ->
       s"""WITH $EDGES_CTE, $VERTS_CTE,

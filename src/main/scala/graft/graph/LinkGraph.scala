@@ -272,8 +272,26 @@ class LinkGraph private (
       .withColumn("deg", $"out_deg" + $"in_deg")
   }
 
-  def toUndirectedGraph: LinkGraph =
-    new LinkGraph(undirected, numPartitions, explicitNodeCount, nodeValues)
+  def toUndirectedGraph: LinkGraph = toUndirectedGraph(Layout.AsIs)
+
+  /** `to_undirected` with an optional CSR layout (graph_ops.rs:176-229).
+    * The layout applies to the MERGED adjacency — the reference's fixture
+    * (crates/mate/tests/graph_test.py:21-54) expects Deduplicated
+    * neighbors(1) == [0,2] on a doubled-edge input, i.e. duplicates are
+    * dropped AFTER the both-directions expansion, with self-loops removed.
+    * Dedup keeps the min weight per remaining edge so the result is
+    * deterministic on weighted multigraphs.
+    */
+  def toUndirectedGraph(layout: Layout.Value): LinkGraph = {
+    val und = layout match {
+      case Layout.Deduplicated =>
+        undirected.filter($"src" =!= $"dst")
+          .groupBy($"src", $"dst")
+          .agg(min($"weight").as("weight"))
+      case _ => undirected
+    }
+    new LinkGraph(und, numPartitions, explicitNodeCount, nodeValues)
+  }
 
   /** Attach per-node values (the reference's NodeValues parallel array,
     * csr.rs:316-328 / GraphBuilder::node_values, builder.rs:388-401):

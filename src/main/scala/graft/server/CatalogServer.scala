@@ -314,7 +314,6 @@ class CatalogServer(
     */
   private def createGraph(
       g: String, path: String, kv: Map[String, String]): (Long, Long) = {
-    import org.apache.spark.sql.functions.col
     requireKeys(kv, Set("format", "layout", "orientation"))
     val (raw, explicitNc) = kv.getOrElse("format", "parquet") match {
       case "parquet" => (spark.read.parquet(path), -1L)
@@ -336,13 +335,7 @@ class CatalogServer(
     }
     val base = graft.graph.LinkGraph(raw, layout)
     val stored =
-      if (!undirectedG) base.edges
-      else if (layout == graft.Layout.Deduplicated)
-        // Deduplicated applies to the MERGED adjacency (csr.rs:897-948):
-        // expand both directions first, then drop duplicates/self-loops
-        base.undirected.filter(col("src") =!= col("dst"))
-          .dropDuplicates("src", "dst")
-      else base.undirected
+      if (undirectedG) base.toUndirectedGraph(layout).edges else base.edges
     catalog.create(g, stored)
     if (undirectedG) catalog.setGraphType(g, "undirected")
     if (explicitNc >= 0) catalog.setNodeCount(g, explicitNc)
@@ -387,24 +380,17 @@ class CatalogServer(
     */
   private def transform(g: String, kind: String,
       opts: Map[String, String] = Map.empty): String = sweeping {
-    import org.apache.spark.sql.functions.col
     requireKeys(opts, Set("layout"))
     val graph = catalog.graph(spark, g)
     val prevType = catalog.graphType(g)
     val prevNc = catalog.explicitNodeCount(g)
     val t0 = System.nanoTime()
     val transformed = kind match {
+      // the reference's to_undirected takes an optional CsrLayout applied
+      // to the merged adjacency (graph_ops.rs:229, actions.rs:91-96)
       case "to_undirected" =>
-        val und = graph.toUndirectedGraph.edges
-        // the reference's to_undirected takes an optional CsrLayout
-        // (graph_ops.rs:229, actions.rs:91-96) applied to the merged
-        // adjacency — dedup AFTER expansion
-        layoutOf(opts.getOrElse("layout", "unsorted")) match {
-          case graft.Layout.Deduplicated =>
-            und.filter(col("src") =!= col("dst"))
-              .dropDuplicates("src", "dst")
-          case _ => und
-        }
+        graph.toUndirectedGraph(
+          layoutOf(opts.getOrElse("layout", "unsorted"))).edges
       case "to_relabeled" => graph.relabeledByDegree.edges
     }
     catalog.create(g, transformed)

@@ -160,6 +160,34 @@ class GoldenAlgosSpec extends SparkSpec {
         r2.labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted))
   }
 
+  test("to_undirected layout semantics mirror the reference fixture") {
+    // crates/mate/tests/graph_test.py:21-54 (test_to_undirected_with_layout)
+    // — a doubled edge (0,1) and an anti-parallel pair (1,2)/(2,1):
+    // default/Unsorted keeps duplicates in the merged adjacency,
+    // Deduplicated drops them AFTER expansion (neighbors(1) == [0,2]).
+    val g = LinkGraph(edgesDF(
+      Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 2L), (2L, 1L), (0L, 3L))))
+    def neighbors(lg: LinkGraph): Map[Long, Seq[Long]] =
+      lg.edges.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (s, a) => s -> a.map(_._2).sorted.toSeq }
+    val asIs = neighbors(g.toUndirectedGraph)
+    assert(asIs(0L) == Seq(1L, 1L, 2L, 3L))
+    assert(asIs(1L) == Seq(0L, 0L, 2L, 2L))
+    assert(asIs(2L) == Seq(0L, 1L, 1L))
+    assert(asIs(3L) == Seq(0L))
+    val dedup = neighbors(g.toUndirectedGraph(Layout.Deduplicated))
+    assert(dedup(0L) == Seq(1L, 2L, 3L))
+    assert(dedup(1L) == Seq(0L, 2L))
+    assert(dedup(2L) == Seq(0L, 1L))
+    assert(dedup(3L) == Seq(0L))
+    // dedup keeps the MIN weight per surviving edge (deterministic on
+    // weighted multigraphs — dropDuplicates would pick an arbitrary row)
+    val gw = LinkGraph(edgesDF(Seq((0L, 1L), (1L, 0L)), Seq(5.0, 2.0)))
+    val w = gw.toUndirectedGraph(Layout.Deduplicated).edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(w == Map((0L, 1L) -> 2.0, (1L, 0L) -> 2.0))
+  }
+
   test("degrees: el_test graph exact out/in degrees") {
     val g = LinkGraph(edgesDF(Fixtures.elTestEdges))
     val d = g.degrees.collect()
