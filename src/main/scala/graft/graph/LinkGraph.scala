@@ -272,6 +272,34 @@ class LinkGraph private (
       .withColumn("deg", $"out_deg" + $"in_deg")
   }
 
+  /** Per-node adjacency point lookups — the reference's accessor API
+    * (crates/mate/graph_mate.pyi:64-101: out_neighbors / in_neighbors /
+    * neighbors and the per-node degrees; golden vectors in
+    * graph_edgelist_test.py:5-24). Driver-side CONTROL-plane conveniences:
+    * each call is one filtered scan of the edge table (column-pruned to a
+    * single column; parquet row-group min/max skipping applies when the
+    * table is sorted by the filtered key), collected because a single
+    * adjacency list is driver-sized by definition. NOT for per-vertex
+    * loops — algorithms traverse adjacency distributively via `bySrc`.
+    * Neighbor arrays come back sorted (the reference's Sorted-layout
+    * rendering), duplicates preserved.
+    */
+  def outNeighbors(node: Long): Array[Long] =
+    edges.filter($"src" === node).select($"dst")
+      .collect().map(_.getLong(0)).sorted
+
+  def inNeighbors(node: Long): Array[Long] =
+    edges.filter($"dst" === node).select($"src")
+      .collect().map(_.getLong(0)).sorted
+
+  /** Merged undirected adjacency of one node (Graph.neighbors). */
+  def neighbors(node: Long): Array[Long] =
+    (outNeighbors(node).toSeq ++ inNeighbors(node).toSeq).sorted.toArray
+
+  def outDegreeOf(node: Long): Long = edges.filter($"src" === node).count()
+  def inDegreeOf(node: Long): Long = edges.filter($"dst" === node).count()
+  def degreeOf(node: Long): Long = outDegreeOf(node) + inDegreeOf(node)
+
   def toUndirectedGraph: LinkGraph = toUndirectedGraph(Layout.AsIs)
 
   /** `to_undirected` with an optional CSR layout (graph_ops.rs:176-229).

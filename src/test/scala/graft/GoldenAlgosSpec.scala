@@ -188,6 +188,30 @@ class GoldenAlgosSpec extends SparkSpec {
     assert(w == Map((0L, 1L) -> 2.0, (1L, 0L) -> 2.0))
   }
 
+  test("per-node neighbor accessors match the reference's el fixture") {
+    // crates/mate/tests/graph_edgelist_test.py:5-24 — out_neighbors on the
+    // directed el graph, merged neighbors on its undirected view
+    val g = LinkGraph(edgesDF(Fixtures.elTestEdges))
+    assert(g.outNeighbors(0L).toSeq == Seq(1L, 2L))
+    assert(g.outNeighbors(1L).toSeq == Seq(2L, 3L))
+    assert(g.outNeighbors(2L).toSeq == Seq(4L))
+    assert(g.outNeighbors(3L).toSeq == Seq(4L))
+    assert(g.outNeighbors(4L).toSeq == Seq.empty)
+    assert(g.neighbors(0L).toSeq == Seq(1L, 2L))
+    assert(g.neighbors(1L).toSeq == Seq(0L, 2L, 3L))
+    assert(g.neighbors(2L).toSeq == Seq(0L, 1L, 4L))
+    assert(g.neighbors(3L).toSeq == Seq(1L, 4L))
+    assert(g.neighbors(4L).toSeq == Seq(2L, 3L))
+    assert(g.inNeighbors(4L).toSeq == Seq(2L, 3L))
+    // per-node degrees agree with the adjacency lengths
+    // (numpy_neighbors_test.py:4-29)
+    (0L to 4L).foreach { n =>
+      assert(g.outDegreeOf(n) == g.outNeighbors(n).length)
+      assert(g.inDegreeOf(n) == g.inNeighbors(n).length)
+      assert(g.degreeOf(n) == g.neighbors(n).length)
+    }
+  }
+
   test("degrees: el_test graph exact out/in degrees") {
     val g = LinkGraph(edgesDF(Fixtures.elTestEdges))
     val d = g.degrees.collect()
