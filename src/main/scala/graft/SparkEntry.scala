@@ -25,6 +25,25 @@ object SparkEntry {
     PageRank.run(graph(spark, "/root/testdata/sf0.001"),
       PageRankConfig(5, 0.0, 0.85)).scores
 
+  /** One scratch root per process for the round-trip queries, removed on
+    * JVM exit. Each invocation overwrites the same paths instead of
+    * minting a fresh createTempDirectory — repeated bench/verify rolls on
+    * a long-lived host were accumulating an unbounded pile of full edge
+    * copies in /tmp (round-5 review).
+    */
+  private lazy val rtScratch: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-rt")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally s.close()
+      } catch { case _: Throwable => () }
+    }, "graft-rt-scratch-cleanup"))
+    p
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_edges" -> ((s, dir) => EventEdges.edges(s, dir)),
 
@@ -34,8 +53,7 @@ object SparkEntry {
     // — a lossy writer or parser (weight rendering, CRLF, multiplicity)
     // breaks the hash.
     "src_el_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-el-rt").toString + "/edges.el"
+      val tmp = rtScratch.resolve("el").toString + "/edges.el"
       graft.sources.GraphSources.writeEdgeList(EventEdges.edges(s, dir), tmp)
       graft.sources.GraphSources.edgeList(s, tmp)
     }),
@@ -45,8 +63,8 @@ object SparkEntry {
     // the read-back union must equal the input exactly (manifest commit,
     // dir union, row multiplicity).
     "src_snapshot_roundtrip" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-snap-rt").toString
+      val root = java.nio.file.Files.createDirectories(
+        rtScratch.resolve("snap")).toString
       val io = new graft.io.ParquetTableIO(root)
       val e = EventEdges.edges(s, dir)
       io.write("g", e.filter(pmod(col("src"), lit(2)) === 0))

@@ -39,7 +39,13 @@ object LabelPropagation {
       checkpointDir: Option[String] = None,
       checkpointEvery: Int = 10,
       broadcastVertices: Long = 5000000L,
-      gatherSalt: Int = sys.env.getOrElse("GRAFT_SALT", "-1").toInt)
+      // LP's own env knob, deliberately NOT the shared GRAFT_SALT:
+      // that one is PageRank's documented override, and the BASELINE.md
+      // measurement shows force-salting LP's voter gather is a strict
+      // regression (the per-round voter exchange costs more than the hub
+      // straggler it removes) — a PR-tuning env var must not silently
+      // engage it here
+      gatherSalt: Int = sys.env.getOrElse("GRAFT_LP_SALT", "-1").toInt)
       : Result = {
     val spark = graph.edges.sparkSession
     import spark.implicits._

@@ -443,8 +443,13 @@ object LinkGraph {
       case Layout.AsIs => edges
       case Layout.Sorted => edges // ordering materialized lazily in bySrc
       case Layout.Deduplicated =>
+        // min weight per surviving edge, NOT dropDuplicates — the latter
+        // keeps an arbitrary duplicate's weight (partition-order-
+        // dependent), and the merged-adjacency dedup in toUndirectedGraph
+        // already fixed min as the deterministic tie-break
         edges.filter(col("src") =!= col("dst"))
-          .dropDuplicates("src", "dst")
+          .groupBy(col("src"), col("dst"))
+          .agg(min(coalesce(col("weight"), lit(1.0))).as("weight"))
     }
     new LinkGraph(norm.select(
       col("src").cast("long").as("src"),

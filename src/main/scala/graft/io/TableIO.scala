@@ -15,7 +15,14 @@ import java.nio.file.{Files, Paths}
   * imports org.apache.iceberg).
   */
 trait TableIO {
-  def write(name: String, df: DataFrame): Unit
+  /** Replace the table with a fresh snapshot. `attrs` commit ATOMICALLY
+    * with the data manifest — a concurrent reader never observes the new
+    * snapshot without its attributes (e.g. a transform's orientation tag
+    * or a graph500 declared node count).
+    */
+  def write(
+      name: String, df: DataFrame,
+      attrs: Map[String, String] = Map.empty): Unit
 
   /** Append rows as a new snapshot WITHOUT rewriting existing data — the
     * distributed analogue of the reference's incremental
@@ -101,12 +108,14 @@ class ParquetTableIO(root: String) extends TableIO {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  override def write(name: String, df: DataFrame): Unit = {
+  override def write(
+      name: String, df: DataFrame,
+      attrs: Map[String, String] = Map.empty): Unit = {
     val snap = if (exists(name)) currentSnapshot(name) + 1 else 0L
     val dataDir = dir(name).resolve(s"snap-$snap")
     df.write.mode("overwrite").parquet(dataDir.toString)
     val rows = df.sparkSession.read.parquet(dataDir.toString).count()
-    commit(name, snap, rows, Seq(s"snap-$snap"))
+    commit(name, snap, rows, Seq(s"snap-$snap"), attrs)
   }
 
   override def append(name: String, df: DataFrame): Unit = {
@@ -239,10 +248,14 @@ class ParquetTableIO(root: String) extends TableIO {
     // values live in the flat attrs object the ad-hoc parser reads up to
     // the first '}' — keep them brace/quote/comma-free
     require(value.matches("[A-Za-z0-9_. -]*"), s"bad attr value: $value")
-    // re-commit the CURRENT snapshot with the merged attrs — same atomic
-    // temp+move, so concurrent readers see old-attrs or new-attrs manifests,
-    // never a torn one
-    commit(name, currentSnapshot(name), currentRows(name),
+    // Commit the merged attrs under a BUMPED snapshot id (no new data dir;
+    // dirs are unchanged) — same atomic temp+move, so concurrent readers
+    // see old-attrs or new-attrs manifests, never a torn one. The bump
+    // keeps version()'s contract ("changes on every committed mutation"):
+    // an attr like node_count changes snapshot-derived facts, and a
+    // version-keyed cache (the daemon's node-count cache) must not keep
+    // serving the pre-attr value.
+    commit(name, currentSnapshot(name) + 1, currentRows(name),
       currentDirs(name), currentAttrs(name) + (key -> value))
   }
 }
@@ -255,13 +268,18 @@ class ParquetTableIO(root: String) extends TableIO {
   * algorithm ran, not just dumped to a directory).
   */
 class GraphCatalog(io: TableIO) {
-  def create(name: String, edges: DataFrame): Unit = {
-    io.write(name, edges)
-    // orientation rides on the table (the reference's GraphType tag,
-    // catalog.rs:125-142); CREATE always loads directed —
-    // `to_undirected` flips it (actions.rs:99-103 Orientation default)
-    io.setAttr(name, "gtype", "directed")
-  }
+  /** Create/replace a named graph. Orientation rides on the table (the
+    * reference's GraphType tag, catalog.rs:125-142); CREATE loads directed
+    * unless `attrs` says otherwise (actions.rs:99-103 Orientation
+    * default). All attrs — gtype, a declared node_count — commit in the
+    * SAME manifest as the edge snapshot, so a concurrent reader (the
+    * daemon's LIST runs unlocked against COMPUTE/transforms) never sees a
+    * fresh snapshot with the attrs still missing.
+    */
+  def create(
+      name: String, edges: DataFrame,
+      attrs: Map[String, String] = Map.empty): Unit =
+    io.write(name, edges, Map("gtype" -> "directed") ++ attrs)
 
   /** Graph orientation tag — "directed" unless a `toUndirected` transform
     * replaced the edge table (pre-attrs tables read as directed).

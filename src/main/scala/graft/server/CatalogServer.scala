@@ -336,11 +336,23 @@ class CatalogServer(
     val base = graft.graph.LinkGraph(raw, layout)
     val stored =
       if (undirectedG) base.toUndirectedGraph(layout).edges else base.edges
-    catalog.create(g, stored)
-    if (undirectedG) catalog.setGraphType(g, "undirected")
-    if (explicitNc >= 0) catalog.setNodeCount(g, explicitNc)
-    val nc = nodeCount(g)
-    (nc, catalog.edgeCount(g))
+    // The node universe derives from the ORIGINAL input (the reference
+    // reads max id before the layout touches the adjacency,
+    // edgelist.rs:84-90) — under a Deduplicated layout a max-id vertex
+    // whose only edges are self-loops is pruned from the stored table and
+    // would otherwise vanish from the universe instead of keeping its
+    // degree-0 slot.
+    val declaredNc =
+      if (explicitNc >= 0) explicitNc
+      else if (layout == graft.Layout.Deduplicated)
+        graft.graph.LinkGraph(raw).nodeCount
+      else -1L
+    catalog.create(g, stored,
+      (if (undirectedG) Map("gtype" -> "undirected")
+       else Map.empty[String, String]) ++
+        (if (declaredNc >= 0) Map("node_count" -> declaredNc.toString)
+         else Map.empty[String, String]))
+    (nodeCount(g), catalog.edgeCount(g))
   }
 
   /** do_action compute dispatch: run, store as a property, return its name
@@ -383,7 +395,19 @@ class CatalogServer(
     requireKeys(opts, Set("layout"))
     val graph = catalog.graph(spark, g)
     val prevType = catalog.graphType(g)
-    val prevNc = catalog.explicitNodeCount(g)
+    // to_undirected exists only on directed graphs in the reference (the
+    // action consumes a DirectedCsrGraph, server.rs:341-368) — repeating
+    // it here would union both directions AGAIN and silently double every
+    // edge's multiplicity, so a retry after a dropped reply must ERR, not
+    // corrupt the table.
+    if (kind == "to_undirected" && prevType == "undirected")
+      throw new IllegalArgumentException(
+        s"graph '$g' is already undirected")
+    // Both transforms preserve the node universe: carry the declared count
+    // forward, or pin the derived one BEFORE a Deduplicated merge can
+    // prune a self-loop-only max-id vertex (to_relabeled's permutation is
+    // over the full dense universe, so the count is unchanged there too).
+    val prevNc = catalog.explicitNodeCount(g).getOrElse(graph.nodeCount)
     val t0 = System.nanoTime()
     val transformed = kind match {
       // the reference's to_undirected takes an optional CsrLayout applied
@@ -393,14 +417,12 @@ class CatalogServer(
           layoutOf(opts.getOrElse("layout", "unsorted"))).edges
       case "to_relabeled" => graph.relabeledByDegree.edges
     }
-    catalog.create(g, transformed)
-    // create() tags the fresh table directed — restate the orientation:
-    // to_undirected flips it, to_relabeled is a permutation and keeps it
-    catalog.setGraphType(g,
-      if (kind == "to_undirected") "undirected" else prevType)
-    // both transforms preserve the node universe, so an explicit declared
-    // count (graph500) survives the snapshot swap
-    prevNc.foreach(catalog.setNodeCount(g, _))
+    // orientation + node count commit ATOMICALLY with the snapshot swap —
+    // LIST runs unlocked, and a gap between the table commit and the attrs
+    // would let it cache a wrong node count under the new version
+    catalog.create(g, transformed, Map(
+      "gtype" -> (if (kind == "to_undirected") "undirected" else prevType),
+      "node_count" -> prevNc.toString))
     s"""{"${kind}_millis":${(System.nanoTime() - t0) / 1000000}}"""
   }
 

@@ -36,6 +36,36 @@ class CatalogAppendSpec extends SparkSpec {
     assert(dataDirs >= 3) // history retained (snapshots are immutable)
   }
 
+  test("attrs commit atomically with write; setAttr bumps version") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-cat-attr").toString
+    val io = new ParquetTableIO(root)
+
+    // attrs passed to write() land in the SAME manifest commit as the
+    // data — there is no window where a reader sees the snapshot without
+    // them (the daemon's unlocked LIST races transforms on exactly this)
+    io.write("t", Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"),
+      Map("gtype" -> "undirected", "node_count" -> "7"))
+    assert(io.attr("t", "gtype").contains("undirected"))
+    assert(io.attr("t", "node_count").contains("7"))
+
+    // version() changes on EVERY committed mutation, attr mutations
+    // included — a version-keyed cache of attr-derived facts (the daemon's
+    // node-count cache) must see a new key after setAttr
+    val v0 = io.version("t")
+    io.setAttr("t", "node_count", "9")
+    assert(io.version("t") > v0)
+    assert(io.attr("t", "node_count").contains("9"))
+    assert(io.rows("t") == 1L) // data manifest untouched by the attr bump
+    assert(io.read(spark, "t").count() == 1L)
+
+    // a full write replaces the table: attrs reset to exactly what the
+    // new commit carries
+    io.write("t", Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"))
+    assert(io.attr("t", "node_count").isEmpty)
+  }
+
   test("tagged appends are idempotent under micro-batch replay") {
     val s = spark
     import s.implicits._

@@ -256,6 +256,28 @@ class CatalogServerSpec extends SparkSpec {
       assert(in.readLine() == "OK")
       assert(readBlock(in).contains("k\tundirected\t2\t2"))
 
+      // TO_UNDIRECTED is directed-only (the reference action consumes a
+      // DirectedCsrGraph, server.rs:341-368): repeating it — e.g. a client
+      // retry after a dropped reply — must ERR, never double the edges
+      out.println("TO_UNDIRECTED b")
+      assert(in.readLine().startsWith("ERR"))
+      out.println("TO_UNDIRECTED k")
+      assert(in.readLine().startsWith("ERR"))
+      out.println("LIST")
+      assert(in.readLine() == "OK")
+      assert(readBlock(in).toSet == Set(
+        "a\tdirected\t3\t4", "b\tundirected\t3\t4", "k\tundirected\t2\t2"))
+
+      // a max-id vertex whose only edges are self-loops keeps its
+      // degree-0 slot under layout=deduplicated: the node universe derives
+      // from the ORIGINAL input (edgelist.rs:84-90), before the layout
+      // prunes the adjacency
+      Files.writeString(java.nio.file.Paths.get(s"$root/loop.el"),
+        "0 1\n3 3\n")
+      out.println(s"CREATE l $root/loop.el format=edge_list " +
+        "layout=deduplicated")
+      assertCreated(in.readLine(), nc = 4, ec = 1)
+
       // unknown option / format / layout -> ERR, connection stays usable
       out.println(s"CREATE z $root/edges.el nope=1")
       assert(in.readLine().startsWith("ERR"))
@@ -265,7 +287,7 @@ class CatalogServerSpec extends SparkSpec {
       assert(in.readLine().startsWith("ERR"))
       out.println("LIST")
       assert(in.readLine() == "OK")
-      assert(readBlock(in).size == 3)
+      assert(readBlock(in).size == 4)
 
       out.println("QUIT")
       assert(in.readLine() == "OK bye")

@@ -186,6 +186,15 @@ class GoldenAlgosSpec extends SparkSpec {
     val w = gw.toUndirectedGraph(Layout.Deduplicated).edges.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(w == Map((0L, 1L) -> 2.0, (1L, 0L) -> 2.0))
+    // the DIRECTED builder's Deduplicated layout uses the same min-weight
+    // rule — a weighted duplicate must resolve deterministically, and
+    // identically whether the dedup ran at build time or post-expansion
+    val gd = LinkGraph(
+      edgesDF(Seq((0L, 1L), (0L, 1L), (2L, 2L)), Seq(5.0, 2.0, 1.0)),
+      Layout.Deduplicated)
+    val wd = gd.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(wd == Map((0L, 1L) -> 2.0)) // self-loop pruned, min weight kept
   }
 
   test("per-node neighbor accessors match the reference's el fixture") {
