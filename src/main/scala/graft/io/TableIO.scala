@@ -80,17 +80,42 @@ trait TableIO {
   */
 class ParquetTableIO(root: String) extends TableIO {
 
-  private def dir(name: String) = Paths.get(root, name)
+  // One lock for every sidecar read-modify-write: two concurrent mutators
+  // (e.g. a streaming append racing a daemon transform on the same
+  // instance) would otherwise both read snapshot n and both commit n+1 —
+  // the ATOMIC_MOVE prevents torn READS, not lost updates, and whichever
+  // manifest lands second silently erases the other's committed rows.
+  // Readers stay lock-free (they see the old or the new manifest).
+  // Contract: one writer PROCESS per catalog root (same as a
+  // lock-service-less Iceberg hadoop catalog); this lock makes the
+  // single-process case safe.
+  private val mutateLock = new Object
+
+  private def dir(name: String) = {
+    // names come off the network (the serving daemon's verbs) and are
+    // embedded raw in both the filesystem path and the sidecar JSON —
+    // reject separators/'..' (path traversal out of the catalog root)
+    // and quotes/braces (sidecar injection) in one charset check
+    require(name.matches("[A-Za-z0-9_.-]+") && name.exists(_.isLetterOrDigit),
+      s"bad table name: $name")
+    Paths.get(root, name)
+  }
   private def metaPath(name: String) = dir(name).resolve("_graft_meta.json")
 
   private def commit(
       name: String, snapshot: Long, rows: Long, dirs: Seq[String],
-      attrs: Map[String, String] = Map.empty): Unit = {
+      attrs: Map[String, String] = Map.empty,
+      tags: Seq[String] = Seq.empty): Unit = {
     Files.createDirectories(dir(name))
     val dirsJson = dirs.map(d => s""""$d"""").mkString("[", ",", "]")
+    // consumed appendTagged tags, persisted INDEPENDENTLY of the data-dir
+    // names: compaction rewrites the dirs to one untagged snap dir, and
+    // the replay-dedup contract must survive it
+    val tagsJson = tags.distinct.sorted
+      .map(t => s""""$t"""").mkString("[", ",", "]")
     // `attrs` is the LAST sidecar field: the ad-hoc field parser
     // (metaField) scans forward to the next ',' / '}', which is only
-    // correct while every earlier field is scalar or the flat dirs array.
+    // correct while every earlier field is scalar or a flat array.
     val attrsJson = attrs.toSeq.sorted
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     // Write-to-temp + ATOMIC_MOVE, never truncate-in-place (round-4
@@ -102,7 +127,7 @@ class ParquetTableIO(root: String) extends TableIO {
     val tmp = dir(name).resolve(s"._graft_meta.$snapshot.tmp")
     Files.writeString(tmp,
       s"""{"name":"$name","snapshot":$snapshot,"rows":$rows,""" +
-        s""""dirs":$dirsJson,"attrs":$attrsJson}""")
+        s""""dirs":$dirsJson,"tags":$tagsJson,"attrs":$attrsJson}""")
     Files.move(tmp, metaPath(name),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -110,61 +135,93 @@ class ParquetTableIO(root: String) extends TableIO {
 
   override def write(
       name: String, df: DataFrame,
-      attrs: Map[String, String] = Map.empty): Unit = {
+      attrs: Map[String, String] = Map.empty): Unit = mutateLock.synchronized {
     val snap = if (exists(name)) currentSnapshot(name) + 1 else 0L
     val dataDir = dir(name).resolve(s"snap-$snap")
     df.write.mode("overwrite").parquet(dataDir.toString)
     val rows = df.sparkSession.read.parquet(dataDir.toString).count()
+    // a replaced table is a new table: attrs AND consumed tags reset
     commit(name, snap, rows, Seq(s"snap-$snap"), attrs)
   }
 
-  override def append(name: String, df: DataFrame): Unit = {
-    if (!exists(name)) { write(name, df); return }
-    val snap = currentSnapshot(name) + 1
-    val dataDir = dir(name).resolve(s"snap-$snap")
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val newRows = df.sparkSession.read.parquet(dataDir.toString).count()
-    commit(name, snap, currentRows(name) + newRows,
-      currentDirs(name) :+ s"snap-$snap", currentAttrs(name))
-  }
-
-  override def appendTagged(
-      name: String, df: DataFrame, tag: String): Unit = {
-    require(tag.matches("[A-Za-z0-9_-]+"), s"bad tag: $tag")
-    // tag lives in the data-dir name, so the dedup check is just a
-    // manifest scan — no sidecar schema change, readers are unaffected.
-    // The committed tag is EXACTLY what follows the "snap-<n>-" prefix;
-    // a bare endsWith("-$tag") would false-match tag "b" against a dir
-    // committed for tag "a-b" (tags may contain '-') and silently DROP
-    // the increment (round-3 verdict #2 — the failure mode is data loss).
-    def dirTag(d: String): String =
-      d.replaceFirst("^snap-[0-9]+-", "")
-    if (!exists(name)) {
-      val dataDir = dir(name).resolve(s"snap-0-$tag")
-      df.write.mode("overwrite").parquet(dataDir.toString)
-      val rows = df.sparkSession.read.parquet(dataDir.toString).count()
-      commit(name, 0L, rows, Seq(s"snap-0-$tag"))
-    } else if (!currentDirs(name).exists(d =>
-        d != dirTag(d) && dirTag(d) == tag)) {
+  override def append(name: String, df: DataFrame): Unit =
+    mutateLock.synchronized {
+      if (!exists(name)) { writeLocked(name, df); return }
       val snap = currentSnapshot(name) + 1
-      val dataDir = dir(name).resolve(s"snap-$snap-$tag")
+      val dataDir = dir(name).resolve(s"snap-$snap")
       df.write.mode("overwrite").parquet(dataDir.toString)
       val newRows = df.sparkSession.read.parquet(dataDir.toString).count()
       commit(name, snap, currentRows(name) + newRows,
-        currentDirs(name) :+ s"snap-$snap-$tag", currentAttrs(name))
-    } // else: tag already committed — replayed micro-batch, skip
+        currentDirs(name) :+ s"snap-$snap", currentAttrs(name),
+        currentTags(name))
+    }
+
+  // first-write body shared by append's not-yet-created branch (monitors
+  // are reentrant, but the early `return` inside write's synchronized
+  // block makes the direct call awkward — keep the plain helper)
+  private def writeLocked(name: String, df: DataFrame): Unit = {
+    val dataDir = dir(name).resolve("snap-0")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val rows = df.sparkSession.read.parquet(dataDir.toString).count()
+    commit(name, 0L, rows, Seq("snap-0"))
   }
 
-  override def compact(spark: SparkSession, name: String): Unit = {
-    require(exists(name), s"table $name not found under $root")
-    if (currentDirs(name).size <= 1) return
-    val all = read(spark, name)
-    val snap = currentSnapshot(name) + 1
-    val dataDir = dir(name).resolve(s"snap-$snap")
-    all.write.mode("overwrite").parquet(dataDir.toString)
-    val rows = spark.read.parquet(dataDir.toString).count()
-    commit(name, snap, rows, Seq(s"snap-$snap"), currentAttrs(name))
-  }
+  override def appendTagged(
+      name: String, df: DataFrame, tag: String): Unit =
+    mutateLock.synchronized {
+      require(tag.matches("[A-Za-z0-9_-]+"), s"bad tag: $tag")
+      // The consumed-tag set lives in the sidecar's `tags` array, so the
+      // replay-dedup contract SURVIVES compaction (which rewrites the data
+      // dirs to one untagged snap dir). The tag also rides the data-dir
+      // name for human lineage, and legacy pre-tags sidecars are still
+      // honored by parsing the tag back out of the dir name: EXACTLY what
+      // follows the "snap-<n>-" prefix — a bare endsWith("-$tag") would
+      // false-match tag "b" against a dir committed for tag "a-b" (tags
+      // may contain '-') and silently DROP the increment (round-3 verdict
+      // #2 — the failure mode is data loss).
+      def dirTag(d: String): String =
+        d.replaceFirst("^snap-[0-9]+-", "")
+      if (!exists(name)) {
+        val dataDir = dir(name).resolve(s"snap-0-$tag")
+        df.write.mode("overwrite").parquet(dataDir.toString)
+        val rows = df.sparkSession.read.parquet(dataDir.toString).count()
+        commit(name, 0L, rows, Seq(s"snap-0-$tag"), Map.empty, Seq(tag))
+      } else {
+        val committed = currentTags(name).toSet ++
+          currentDirs(name).collect {
+            case d if d != dirTag(d) => dirTag(d)
+          }
+        if (!committed.contains(tag)) {
+          val snap = currentSnapshot(name) + 1
+          val dataDir = dir(name).resolve(s"snap-$snap-$tag")
+          df.write.mode("overwrite").parquet(dataDir.toString)
+          val newRows =
+            df.sparkSession.read.parquet(dataDir.toString).count()
+          commit(name, snap, currentRows(name) + newRows,
+            currentDirs(name) :+ s"snap-$snap-$tag", currentAttrs(name),
+            (committed + tag).toSeq)
+        } // else: tag already committed — replayed micro-batch, skip
+      }
+    }
+
+  override def compact(spark: SparkSession, name: String): Unit =
+    mutateLock.synchronized {
+      require(exists(name), s"table $name not found under $root")
+      if (currentDirs(name).size <= 1) return
+      // carry the consumed-tag set forward: the tagged data dirs are about
+      // to leave the manifest, and a replayed micro-batch after compaction
+      // must still be recognized as committed
+      def dirTag(d: String): String = d.replaceFirst("^snap-[0-9]+-", "")
+      val tags = currentTags(name).toSet ++
+        currentDirs(name).collect { case d if d != dirTag(d) => dirTag(d) }
+      val all = read(spark, name)
+      val snap = currentSnapshot(name) + 1
+      val dataDir = dir(name).resolve(s"snap-$snap")
+      all.write.mode("overwrite").parquet(dataDir.toString)
+      val rows = spark.read.parquet(dataDir.toString).count()
+      commit(name, snap, rows, Seq(s"snap-$snap"), currentAttrs(name),
+        tags.toSeq)
+    }
 
   private def metaField(name: String, field: String): String = {
     val s = Files.readString(metaPath(name))
@@ -197,6 +254,21 @@ class ParquetTableIO(root: String) extends TableIO {
     val s = Files.readString(metaPath(name))
     val i = s.indexOf("\"dirs\":[")
     if (i < 0) Seq(s"snap-${currentSnapshot(name)}") // pre-manifest sidecar
+    else {
+      val body = s.substring(i + 8, s.indexOf("]", i))
+      if (body.trim.isEmpty) Seq.empty
+      else body.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .toSeq
+    }
+  }
+
+  /** Consumed appendTagged tags (empty on pre-tags sidecars, whose tags
+    * are recovered from the data-dir names instead).
+    */
+  private def currentTags(name: String): Seq[String] = {
+    val s = Files.readString(metaPath(name))
+    val i = s.indexOf("\"tags\":[")
+    if (i < 0) Seq.empty
     else {
       val body = s.substring(i + 8, s.indexOf("]", i))
       if (body.trim.isEmpty) Seq.empty
@@ -243,7 +315,8 @@ class ParquetTableIO(root: String) extends TableIO {
   override def attr(name: String, key: String): Option[String] =
     currentAttrs(name).get(key)
 
-  override def setAttr(name: String, key: String, value: String): Unit = {
+  override def setAttr(name: String, key: String, value: String): Unit =
+    mutateLock.synchronized {
     require(key.matches("[A-Za-z0-9_-]+"), s"bad attr key: $key")
     // values live in the flat attrs object the ad-hoc parser reads up to
     // the first '}' — keep them brace/quote/comma-free
@@ -256,7 +329,8 @@ class ParquetTableIO(root: String) extends TableIO {
     // version-keyed cache (the daemon's node-count cache) must not keep
     // serving the pre-attr value.
     commit(name, currentSnapshot(name) + 1, currentRows(name),
-      currentDirs(name), currentAttrs(name) + (key -> value))
+      currentDirs(name), currentAttrs(name) + (key -> value),
+      currentTags(name))
   }
 }
 
@@ -312,14 +386,35 @@ class GraphCatalog(io: TableIO) {
   /** Append an edge increment (e.g. a StreamingIngest batch) to a named
     * graph; algorithms on the next `graph()` call see the union.
     */
-  def appendEdges(name: String, edges: DataFrame): Unit =
+  def appendEdges(name: String, edges: DataFrame): Unit = {
     io.append(name, edges)
+    growUniverse(name, edges)
+  }
 
   /** Idempotent append keyed by an increment tag (streaming micro-batch
     * replay safety — see TableIO.appendTagged).
     */
-  def appendEdgesTagged(name: String, edges: DataFrame, tag: String): Unit =
+  def appendEdgesTagged(name: String, edges: DataFrame, tag: String): Unit = {
     io.appendTagged(name, edges, tag)
+    growUniverse(name, edges)
+  }
+
+  /** A declared node universe (graph500's m/16) must never be SMALLER than
+    * the edges actually in the table: an appended edge whose id falls past
+    * the declared count would otherwise be silently dropped from the dense
+    * vertex universe (degrees, PageRank's n, SSSP init) — grow the declared
+    * count to cover it, the same semantics as the reference's mutable
+    * add_edge growing its adjacency. Only runs when an explicit count
+    * exists (one cheap column-pruned max over the increment).
+    */
+  private def growUniverse(name: String, edges: DataFrame): Unit =
+    explicitNodeCount(name).foreach { nc =>
+      import org.apache.spark.sql.functions.{col, greatest, max}
+      val row =
+        edges.agg(max(greatest(col("src"), col("dst")).cast("long"))).first()
+      if (!row.isNullAt(0) && row.getLong(0) + 1 > nc)
+        io.setAttr(name, "node_count", (row.getLong(0) + 1).toString)
+    }
 
   def compact(spark: SparkSession, name: String): Unit =
     io.compact(spark, name)
@@ -352,8 +447,16 @@ class GraphCatalog(io: TableIO) {
   def list(): Seq[String] =
     io.list().filterNot(_.contains(".prop."))
 
-  def remove(name: String): Unit = {
+  /** Drop every computed property of `name` (without touching the edge
+    * table) — CREATE over an existing graph name replaces the DATA, and
+    * properties computed against the old data must not survive to be
+    * served as if they described the new one.
+    */
+  def dropProperties(name: String): Unit =
     io.list().filter(_.startsWith(s"$name.prop.")).foreach(io.drop)
+
+  def remove(name: String): Unit = {
+    dropProperties(name)
     io.drop(name)
   }
 }

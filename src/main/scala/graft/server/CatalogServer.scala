@@ -101,6 +101,12 @@ class CatalogServer(
         t.start()
       } catch {
         case _: java.net.SocketException => // closed during accept: exit
+        case scala.util.control.NonFatal(e) =>
+          // anything else (fd exhaustion, a handler-thread OOM surfacing
+          // here) must not silently kill the acceptor while the daemon
+          // process lives on refusing all new connections
+          if (running.get())
+            System.err.println(s"[graft-serve] accept failed: $e")
       }
     }
   }, "graft-serve-accept")
@@ -156,6 +162,11 @@ class CatalogServer(
                 require(catalog.list().contains(g), s"graph $g not found")
                 catalog.remove(g)
                 ncCache.remove(g)
+                // a re-CREATE under this name restarts snapshot ids at 0;
+                // the epoch bump keeps any in-flight count computed
+                // against the removed graph from being cached as the new
+                // graph's (scaladoc on epochs)
+                epochs.merge(g, 1L, (a, b) => a + b)
               }
               "OK removed"
             }
@@ -265,15 +276,26 @@ class CatalogServer(
     * daemon's cache is bounded by the catalog size.
     */
   private val ncCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  /** Per-name REMOVE epoch: a dropped table's snapshot ids restart at 0,
+    * so (version, count) alone is ABA-unsafe — a LIST thread that stalls
+    * between computing a count and caching it, across a REMOVE + re-CREATE
+    * of the same name, would insert the OLD graph's count under the NEW
+    * graph's version 0. The epoch (bumped by REMOVE) makes the stale put
+    * unservable.
+    */
+  private val epochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def nodeCount(g: String): Long = {
+    val e = epochs.getOrDefault(g, 0L).longValue()
     val v = catalog.version(g)
     val cached = ncCache.get(g)
-    if (cached != null && cached._1 == v) cached._2
+    if (cached != null && cached._1 == e && cached._2 == v) cached._3
     else {
       val nc = catalog.graph(spark, g).nodeCount
-      ncCache.put(g, (v, nc))
+      ncCache.put(g, (e, v, nc))
       nc
     }
   }
@@ -314,7 +336,16 @@ class CatalogServer(
     */
   private def createGraph(
       g: String, path: String, kv: Map[String, String]): (Long, Long) = {
+    // graph names are daemon-facing: a stricter charset than the table
+    // layer's (no dots) keeps a client-chosen name out of the
+    // `<graph>.prop.<name>` property namespace
+    require(g.matches("[A-Za-z0-9_-]+"), s"bad graph name: $g")
     requireKeys(kv, Set("format", "layout", "orientation"))
+    // CREATE over an existing name replaces the DATA: properties computed
+    // against the old edges must not survive to be served against the new
+    // ones (unlike the in-place transforms, whose property retention is
+    // the reference's own documented PropertyStore behavior)
+    if (catalog.list().contains(g)) catalog.dropProperties(g)
     val (raw, explicitNc) = kv.getOrElse("format", "parquet") match {
       case "parquet" => (spark.read.parquet(path), -1L)
       // GraphSources.edgeList already parses optional per-line weights,
@@ -468,7 +499,11 @@ class CatalogServer(
       df: DataFrame, limit: Long, out: PrintWriter): Unit = {
     val it = df.toLocalIterator()
     var sent = 0L
-    while (it.hasNext && sent < limit) {
+    // checkError(): PrintWriter swallows broken-pipe IOExceptions into an
+    // internal flag — without the check, a client that disconnected one
+    // row into a 10^9-row GET would still cost the driver the entire
+    // scan-and-format loop on a dead socket
+    while (it.hasNext && sent < limit && !out.checkError()) {
       val row = it.next()
       out.println((0 until row.length)
         .map(i => String.valueOf(row.get(i))).mkString("\t"))

@@ -89,6 +89,45 @@ class CatalogAppendSpec extends SparkSpec {
     // untagged appends still stack freely alongside
     cat.appendEdges("g", Seq((3L, 4L, 1.0)).toDF("src", "dst", "weight"))
     assert(cat.graph(spark, "g").edgeCount == 3)
+
+    // COMPACTION must not forget consumed tags: it rewrites the tagged
+    // data dirs into one untagged dir, and a post-compaction replay of an
+    // already-committed micro-batch (failure/restart straddling the
+    // compaction) would otherwise append duplicate rows — the exact
+    // at-least-once corruption appendTagged exists to prevent
+    cat.compact(spark, "g")
+    assert(cat.graph(spark, "g").edgeCount == 3)
+    cat.appendEdgesTagged("g",
+      Seq((1L, 2L, 1.0)).toDF("src", "dst", "weight"), "b1")
+    assert(cat.graph(spark, "g").edgeCount == 3) // b1 still recognized
+    cat.appendEdgesTagged("g",
+      Seq((5L, 6L, 1.0)).toDF("src", "dst", "weight"), "b2")
+    assert(cat.graph(spark, "g").edgeCount == 4) // new tags still commit
+  }
+
+  test("appends past a declared node universe grow it") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-cat-grow").toString
+    val io = new ParquetTableIO(root)
+    val cat = new GraphCatalog(io)
+
+    // a graph500-style declared universe: 4 nodes, edges among 0-1
+    cat.create("g", Seq((0L, 1L, 1.0)).toDF("src", "dst", "weight"),
+      Map("node_count" -> "4"))
+    assert(cat.graph(spark, "g").nodeCount == 4)
+
+    // appending an edge INSIDE the universe keeps the declared count
+    cat.appendEdges("g", Seq((2L, 3L, 1.0)).toDF("src", "dst", "weight"))
+    assert(cat.graph(spark, "g").nodeCount == 4)
+
+    // an edge PAST it grows the declared count to cover the new max id —
+    // the old behavior silently dropped node 9 from the dense universe
+    // (degrees, PageRank's n) while its edges sat in the table
+    cat.appendEdgesTagged("g",
+      Seq((9L, 0L, 1.0)).toDF("src", "dst", "weight"), "t0")
+    assert(cat.graph(spark, "g").nodeCount == 10)
+    assert(cat.graph(spark, "g").degrees.count() == 10)
   }
 
   test("tag matching is exact, not suffix-based (tags may contain '-')") {

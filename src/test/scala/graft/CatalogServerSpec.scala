@@ -278,6 +278,26 @@ class CatalogServerSpec extends SparkSpec {
         "layout=deduplicated")
       assertCreated(in.readLine(), nc = 4, ec = 1)
 
+      // CREATE over an existing name replaces the DATA: properties
+      // computed against the old edges are dropped, not served as if
+      // they described the new graph
+      out.println("COMPUTE l degrees")
+      assert(in.readLine() == "OK degrees")
+      out.println(s"CREATE l $root/edges.el format=edge_list")
+      assertCreated(in.readLine(), nc = 3, ec = 4)
+      out.println("PROPS l")
+      assert(in.readLine() == "OK")
+      assert(readBlock(in).isEmpty) // stale degrees gone
+      out.println("GET l degrees")
+      assert(in.readLine().startsWith("ERR"))
+
+      // graph names come off the network and land in filesystem paths and
+      // the sidecar JSON: traversal/injection charsets must ERR
+      out.println(s"CREATE ../evil $root/edges.el format=edge_list")
+      assert(in.readLine().startsWith("ERR"))
+      out.println(s"CREATE x.prop.y $root/edges.el format=edge_list")
+      assert(in.readLine().startsWith("ERR")) // can't squat the prop namespace
+
       // unknown option / format / layout -> ERR, connection stays usable
       out.println(s"CREATE z $root/edges.el nope=1")
       assert(in.readLine().startsWith("ERR"))
