@@ -66,6 +66,10 @@ object SparkEntry {
       val root = java.nio.file.Files.createDirectories(
         rtScratch.resolve("snap")).toString
       val io = new graft.io.ParquetTableIO(root)
+      // snapshots retain history for lineage, so without this drop every
+      // invocation in a long-lived JVM (interleaved bench passes) would
+      // stack two MORE full edge copies under rtScratch until process exit
+      if (io.exists("g")) io.drop("g")
       val e = EventEdges.edges(s, dir)
       io.write("g", e.filter(pmod(col("src"), lit(2)) === 0))
       io.append("g", e.filter(pmod(col("src"), lit(2)) =!= 0))

@@ -25,7 +25,14 @@ class LinkGraph private (
     val edges: DataFrame,
     val numPartitions: Int,
     explicitNodeCount: Long = -1L,
-    val nodeValues: Option[DataFrame] = None) extends Serializable {
+    val nodeValues: Option[DataFrame] = None,
+    // Lazy max-id source when `edges` may have DROPPED the max-id vertex
+    // (Deduplicated layouts prune self-loops, so a max-id vertex with only
+    // self-loop edges vanishes from the topology). The reference derives
+    // max_node_id from the RAW edge list before any CSR-layout dedup
+    // (crates/builder/src/input/edgelist.rs:84-90,133-136), so the count
+    // must too. Kept lazy — no job runs until nodeCount is first read.
+    countSource: Option[DataFrame] = None) extends Serializable {
 
   private val spark = edges.sparkSession
   import spark.implicits._
@@ -42,7 +49,7 @@ class LinkGraph private (
 
   def nodeCount: Long = {
     if (cachedNodeCount < 0)
-      cachedNodeCount = maxIdPlusOne(edges)
+      cachedNodeCount = maxIdPlusOne(countSource.getOrElse(edges))
     cachedNodeCount
   }
 
@@ -318,7 +325,19 @@ class LinkGraph private (
           .agg(min($"weight").as("weight"))
       case _ => undirected
     }
-    new LinkGraph(und, numPartitions, explicitNodeCount, nodeValues)
+    // to_undirected never changes the VERTEX universe, but the Deduplicated
+    // merge drops self-loops — a max-id vertex with only self-loop edges
+    // would vanish from a max-id+1 re-derivation over the merged table
+    // (the nodeCountFrom poisoning hazard). Carry a memoized/explicit count
+    // forward when one exists; otherwise point the lazy derivation at THIS
+    // graph's count source (its full edge set, or an inherited raw-input
+    // view if this graph was itself dedup-built). No eager job either way.
+    val known = cachedNodeCount
+    val cs =
+      if (known >= 0) None
+      else countSource.orElse(
+        if (layout == Layout.Deduplicated) Some(edges) else None)
+    new LinkGraph(und, numPartitions, known, nodeValues, cs)
   }
 
   /** Attach per-node values (the reference's NodeValues parallel array,
@@ -326,7 +345,8 @@ class LinkGraph private (
     * a (id, value) table algorithms and property joins can ride on.
     */
   def withNodeValues(values: DataFrame): LinkGraph =
-    new LinkGraph(edges, numPartitions, explicitNodeCount, Some(values))
+    new LinkGraph(edges, numPartitions, cachedNodeCount, Some(values),
+      countSource)
 
   /** Degree-descending relabel (SURVEY.md §2.12; reference
     * make_degree_ordered, graph_ops.rs:511-638 / server to_relabeled,
@@ -451,11 +471,23 @@ object LinkGraph {
           .groupBy(col("src"), col("dst"))
           .agg(min(coalesce(col("weight"), lit(1.0))).as("weight"))
     }
+    // Deduplicated prunes self-loops BEFORE the lazy max-id derivation
+    // would run, so a max-id vertex with only self-loop edges would
+    // silently shrink nodeCount; the reference derives max_node_id from
+    // the raw edge list ahead of any layout dedup (edgelist.rs:84-90).
+    // Point the lazy count at the raw ids when no explicit count was given.
+    val cs = layout match {
+      case Layout.Deduplicated if nodeCount < 0 =>
+        Some(edges.select(
+          col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst")))
+      case _ => None
+    }
     new LinkGraph(norm.select(
       col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"),
       coalesce(col("weight"), lit(1.0)).cast("double").as("weight")),
-      parts, nodeCount, nodeValues)
+      parts, nodeCount, nodeValues, cs)
   }
 
   /** Hub-salting helper (SURVEY.md §2.11/§7.4-4): split any join key whose

@@ -197,6 +197,30 @@ class GoldenAlgosSpec extends SparkSpec {
     assert(wd == Map((0L, 1L) -> 2.0)) // self-loop pruned, min weight kept
   }
 
+  test("Deduplicated layouts keep self-loop-only max-id vertices counted") {
+    // max_node_id derives from the RAW edge list, before any layout dedup
+    // (edgelist.rs:84-90,133-136): a vertex whose only incident edge is a
+    // self-loop must stay in the vertex universe even though the
+    // Deduplicated layout prunes the loop from the topology.
+    val in = Seq((0L, 1L), (2L, 2L))
+    val g = LinkGraph(edgesDF(in), Layout.Deduplicated)
+    assert(g.edges.count() == 1L) // the loop itself IS pruned
+    assert(g.nodeCount == 3L) // ...but node 2 still counts
+    assert(g.vertices.count() == 3L)
+    // the merged-adjacency dedup on an AsIs-built graph: same rule
+    val und = LinkGraph(edgesDF(in)).toUndirectedGraph(Layout.Deduplicated)
+    assert(und.nodeCount == 3L)
+    // a dedup-built graph's LATER derivations inherit the raw-input count
+    // source even when nodeCount was never read on the parent (the lazy
+    // propagation path, no memoized value to carry)
+    val g2 = LinkGraph(edgesDF(in), Layout.Deduplicated)
+    assert(g2.toUndirectedGraph(Layout.Deduplicated).nodeCount == 3L)
+    import org.apache.spark.sql.functions.col
+    assert(g2.withNodeValues(
+      g2.edges.select(col("src").as("id"), col("weight")))
+      .nodeCount == 3L)
+  }
+
   test("per-node neighbor accessors match the reference's el fixture") {
     // crates/mate/tests/graph_edgelist_test.py:5-24 — out_neighbors on the
     // directed el graph, merged neighbors on its undirected view
