@@ -371,7 +371,14 @@ class LinkGraph private (
       .join(m.withColumnRenamed("id", "dst")
         .withColumnRenamed("new_id", "new_dst"), Seq("dst"))
       .select($"new_src".as("src"), $"new_dst".as("dst"), $"weight")
-    new LinkGraph(relabeled, numPartitions)
+    // The relabel is a PERMUTATION of the dense universe (make_degree_
+    // ordered keeps node_count, graph_ops.rs:511-638), so the count is
+    // invariant — and it must be pinned: isolated vertices sort LAST under
+    // (deg DESC, id ASC), so none of them appears in the relabeled edge
+    // table and a max-id re-derivation would drop exactly their slots.
+    // nodeCount is already memoized here (relabelMap ranked the dense
+    // degree table, which read it), so this adds no job.
+    new LinkGraph(relabeled, numPartitions, nodeCount)
   }
 }
 

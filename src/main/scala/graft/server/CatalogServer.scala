@@ -373,10 +373,13 @@ class CatalogServer(
     // whose only edges are self-loops is pruned from the stored table and
     // would otherwise vanish from the universe instead of keeping its
     // degree-0 slot.
+    // base.nodeCount already derives from the raw ids under a Deduplicated
+    // layout (LinkGraph.apply threads the pre-dedup input as the lazy
+    // count source), so reading it here pins the full universe without
+    // building a second graph over `raw`.
     val declaredNc =
       if (explicitNc >= 0) explicitNc
-      else if (layout == graft.Layout.Deduplicated)
-        graft.graph.LinkGraph(raw).nodeCount
+      else if (layout == graft.Layout.Deduplicated) base.nodeCount
       else -1L
     catalog.create(g, stored,
       (if (undirectedG) Map("gtype" -> "undirected")

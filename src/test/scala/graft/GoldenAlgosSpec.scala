@@ -219,6 +219,10 @@ class GoldenAlgosSpec extends SparkSpec {
     assert(g2.withNodeValues(
       g2.edges.select(col("src").as("id"), col("weight")))
       .nodeCount == 3L)
+    // degree-descending relabel is a permutation of the dense universe
+    // (graph_ops.rs:511-638 keeps node_count): isolated vertices sort
+    // LAST and appear in no relabeled edge, but their slots must survive
+    assert(g.relabeledByDegree.nodeCount == 3L)
   }
 
   test("per-node neighbor accessors match the reference's el fixture") {
