@@ -76,6 +76,47 @@ object SparkEntry {
       io.read(s, "g")
     }),
 
+    // S2 graph500 binary round-trip, driver-gated: pack the reply edges
+    // into 12-byte little-endian records (fixture writer, driver-sized by
+    // design — see GraphSources.writeGraph500), read them back through the
+    // production record-parallel reader. The oracle states the (src, dst)
+    // derivation only — a mispacked/misparsed 48-bit split breaks the hash.
+    "src_g500_roundtrip" -> ((s, dir) => {
+      val root = java.nio.file.Files.createDirectories(
+        rtScratch.resolve("g500"))
+      val path = root.resolve("edges.graph500").toString
+      graft.sources.GraphSources.writeGraph500(EventEdges.edges(s, dir),
+        path)
+      graft.sources.GraphSources.graph500(s, path)._1
+        .select(col("src"), col("dst"))
+    }),
+
+    // S3 .graph labeled-text round-trip, driver-gated: derive a node table
+    // (label = id % 7, degree = incident endpoint count) from the reply
+    // edges, write nodes+edges as v/e lines (distributed) + t header,
+    // parse back through the production reader, and emit only node rows
+    // whose stored degree EQUALS a recount over the read-back edges — a
+    // corrupted v-line drops the row (hash breaks), a corrupted e-line
+    // skews the recount (row vanishes, count breaks), so one DataFrame
+    // gates both parse lanes.
+    "src_dotgraph_roundtrip" -> ((s, dir) => {
+      val e = EventEdges.edges(s, dir)
+      val ids = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+      val nodes = ids.groupBy(col("id"))
+        .agg(count(lit(1)).as("degree"))
+        .select(col("id"), (col("id") % 7).as("label"), col("degree"))
+      val out = rtScratch.resolve("dot").toString
+      graft.sources.GraphSources.writeDotGraph(nodes, e, out)
+      val (rn, re) = graft.sources.GraphSources.dotGraph(s, out)
+      val deg = re.select(col("src").as("id"))
+        .unionAll(re.select(col("dst").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("re_deg"))
+      rn.join(deg, Seq("id"))
+        .filter(col("degree") === col("re_deg"))
+        .select(col("id"), col("label"), col("degree"))
+    }),
+
     "g_degrees" -> ((s, dir) => graph(s, dir).degrees),
 
     "g_to_undirected" -> ((s, dir) =>
@@ -374,6 +415,21 @@ object SparkEntry {
     // round-trips must reproduce the derivation EXACTLY — same oracle
     "src_el_roundtrip" -> EventEdges.edgesSql,
     "src_snapshot_roundtrip" -> EventEdges.edgesSql,
+
+    // graph500 carries (src, dst) only — the derivation minus weight
+    "src_g500_roundtrip" ->
+      s"""WITH $EDGES_CTE
+         |SELECT src, dst FROM edges""".stripMargin,
+
+    // the .graph node-table derivation: the Spark side only emits rows
+    // whose stored degree survives an edge-recount through the parser, so
+    // a lossless round-trip reproduces exactly this table
+    "src_dotgraph_roundtrip" ->
+      s"""WITH $EDGES_CTE,
+         |ids AS (SELECT src AS id FROM edges
+         |        UNION ALL SELECT dst AS id FROM edges)
+         |SELECT id, id % 7 AS label, count(*) AS degree
+         |FROM ids GROUP BY id""".stripMargin,
 
     "g_degrees" ->
       s"""WITH $EDGES_CTE, $VERTS_CTE

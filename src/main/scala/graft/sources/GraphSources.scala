@@ -83,6 +83,52 @@ object GraphSources {
       .agg(count(lit(1)).as("frequency"),
         max(col("degree")).as("max_degree"))
 
+  /** S3 sink: the inverse of [[dotGraph]] — `t`/`v`/`e` lines
+    * (dotgraph.rs:63-218's grammar). The v/e body is written DISTRIBUTED
+    * (a directory of text parts; [[dotGraph]]'s line-prefix parse is
+    * order-independent, so the reference's sorted-by-id convention is not
+    * required on read-back); the one-line `t <n> <m>` header lands in its
+    * own part file. Weights don't survive (the format has none — the
+    * reader restores 1.0).
+    */
+  def writeDotGraph(nodes: DataFrame, edges: DataFrame, dir: String):
+      Unit = {
+    val vLines = nodes.select(concat_ws(" ", lit("v"),
+      col("id").cast("string"), col("label").cast("string"),
+      col("degree").cast("string")).as("value"))
+    val eLines = edges.select(concat_ws(" ", lit("e"),
+      col("src").cast("string"), col("dst").cast("string")).as("value"))
+    vLines.unionAll(eLines).write.mode("overwrite").text(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-header.txt"),
+      s"t ${nodes.count()} ${edges.count()}\n".getBytes("UTF-8"))
+  }
+
+  /** S2 sink: pack (src, dst) into graph500's 12-byte little-endian
+    * records (the layout [[graph500]] reads; graph500.rs:63-127). A
+    * fixture/bootstrap writer: the reference never WRITES graph500 (the
+    * format comes from external generators), so the distributed surface
+    * under test is the reader — this packer is deliberately driver-side
+    * (one ByteBuffer, correctness-gate-sized inputs) because no Spark sink
+    * speaks fixed-length headerless binary records.
+    */
+  def writeGraph500(edges: DataFrame, path: String): Unit = {
+    val rows = edges
+      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+    val buf = java.nio.ByteBuffer.allocate(rows.length * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    rows.foreach { r =>
+      val s = r.getLong(0); val d = r.getLong(1)
+      require((s >>> 48) == 0 && (d >>> 48) == 0,
+        s"graph500 ids are 48-bit, got ($s, $d)")
+      buf.putInt((s & 0xFFFFFFFFL).toInt)
+      buf.putInt((d & 0xFFFFFFFFL).toInt)
+      buf.putInt((((s >>> 32) & 0xFFFFL) | (((d >>> 32) & 0xFFFFL) << 16))
+        .toInt)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+  }
+
   /** S2: graph500 packed binary -> ((src, dst, weight) DataFrame, nodeCount).
     */
   def graph500(spark: SparkSession, path: String): (DataFrame, Long) = {

@@ -46,6 +46,46 @@ class SourcesSpec extends SparkSpec {
     assert(nodeCount == 0L) // 2 edges / 16 = 0 (Kronecker convention)
   }
 
+  test("graph500 writer round-trips through the reader incl. 48-bit ids") {
+    val dir = Files.createTempDirectory("graft-g500w")
+    val edges = Seq((5L, 7L), ((1L << 33) + 1L, (1L << 34) + 2L),
+      ((1L << 47) - 1L, 0L), (7L, 5L), (5L, 7L)) // dup kept, both orders
+    val df = edgesDF(edges)
+    val p = dir.resolve("rt.graph500").toString
+    GraphSources.writeGraph500(df, p)
+    val got = GraphSources.graph500(spark, p)._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == edges.sorted)
+    // ids past the 48-bit packing range must refuse, not truncate
+    intercept[IllegalArgumentException] {
+      GraphSources.writeGraph500(edgesDF(Seq((1L << 48, 0L))),
+        dir.resolve("bad.graph500").toString)
+    }
+  }
+
+  test("dotGraph writer round-trips nodes, edges, and label stats") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-dotw").resolve("g").toString
+    val e = edgesDF(Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 2L)))
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .select(col("id"), (col("id") % 2).as("label"), col("degree"))
+    GraphSources.writeDotGraph(nodes, e, dir)
+    val (rn, re) = GraphSources.dotGraph(spark, dir)
+    assert(rn.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      Seq((0L, 0L, 2L), (1L, 1L, 3L), (2L, 0L, 3L)))
+    // duplicate e-lines survive (multigraph fidelity), weight restored 1.0
+    assert(re.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq ==
+      Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 2L, 1.0), (1L, 2L, 1.0)))
+    // the t-header landed and matches the body
+    val header = spark.read.text(dir)
+      .filter(col("value").startsWith("t ")).collect()
+    assert(header.map(_.getString(0)).toSeq == Seq("t 3 4"))
+  }
+
   test("dotGraph source parses t/v/e format with label stats") {
     val dir = Files.createTempDirectory("graft-dot")
     // 5-node labeled graph in the reference's .graph format
