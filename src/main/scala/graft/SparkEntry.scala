@@ -119,6 +119,12 @@ object SparkEntry {
 
     "g_degrees" -> ((s, dir) => graph(s, dir).degrees),
 
+    // build-time Deduplicated layout (§2.13, builder.rs:123-381): self-
+    // loops pruned, min weight per surviving directed edge — the same
+    // deterministic rule as the merged-adjacency dedup
+    "g_build_dedup" -> ((s, dir) =>
+      LinkGraph(EventEdges.edges(s, dir), Layout.Deduplicated).edges),
+
     "g_to_undirected" -> ((s, dir) =>
       graph(s, dir).undirected),
 
@@ -420,6 +426,11 @@ object SparkEntry {
     "src_g500_roundtrip" ->
       s"""WITH $EDGES_CTE
          |SELECT src, dst FROM edges""".stripMargin,
+
+    "g_build_dedup" ->
+      s"""WITH $EDGES_CTE
+         |SELECT src, dst, min(weight) AS weight FROM edges
+         |WHERE src <> dst GROUP BY src, dst""".stripMargin,
 
     // the .graph node-table derivation: the Spark side only emits rows
     // whose stored degree survives an edge-recount through the parser, so
