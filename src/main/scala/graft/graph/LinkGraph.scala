@@ -65,10 +65,17 @@ class LinkGraph private (
     * drop the max-id row would silently poison nodeCount and `vertices`
     * for every later consumer. Pass only projections/repartitions/
     * checkpoints of the full edge set.
+    *
+    * When a `countSource` is present (a Deduplicated build whose raw input
+    * kept self-loop-only max-id vertices), it wins over the materialized
+    * view: `edges` itself already dropped those vertices, so ANY view of it
+    * violates the max-id contract — the shortcut would re-introduce the
+    * shrunken-universe bug on the WCC/SCC/LP entry points and memoize it
+    * for every later nodeCount/vertices read (round-5 review).
     */
   def nodeCountFrom(materializedEdges: DataFrame): Long = {
     if (cachedNodeCount < 0)
-      cachedNodeCount = maxIdPlusOne(materializedEdges)
+      cachedNodeCount = maxIdPlusOne(countSource.getOrElse(materializedEdges))
     cachedNodeCount
   }
 

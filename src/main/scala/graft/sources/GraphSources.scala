@@ -99,9 +99,25 @@ object GraphSources {
     val eLines = edges.select(concat_ws(" ", lit("e"),
       col("src").cast("string"), col("dst").cast("string")).as("value"))
     vLines.unionAll(eLines).write.mode("overwrite").text(dir)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "part-header.txt"),
-      s"t ${nodes.count()} ${edges.count()}\n".getBytes("UTF-8"))
+    // Header counts come from ONE scan of the just-written text (grouped by
+    // line prefix) — `nodes.count()`/`edges.count()` would re-run both full
+    // upstream derivations a second and third time, and could even disagree
+    // with the written body on a nondeterministic input (round-5 review).
+    val spark = nodes.sparkSession
+    val byPrefix = spark.read.text(dir)
+      .groupBy(substring(col("value"), 1, 1).as("p")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The header goes through the body's OWN Hadoop filesystem: java.nio
+    // Paths resolve against the local FS only, which for a non-local `dir`
+    // (hdfs://, s3a://) would throw after the body landed, leaving a
+    // grammar-incomplete file set (round-5 review).
+    val hPath = new org.apache.hadoop.fs.Path(dir, "part-header.txt")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hPath, true)
+    try out.write(
+      s"t ${byPrefix.getOrElse("v", 0L)} ${byPrefix.getOrElse("e", 0L)}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** S2 sink: pack (src, dst) into graph500's 12-byte little-endian

@@ -223,6 +223,18 @@ class GoldenAlgosSpec extends SparkSpec {
     // (graph_ops.rs:511-638 keeps node_count): isolated vertices sort
     // LAST and appear in no relabeled edge, but their slots must survive
     assert(g.relabeledByDegree.nodeCount == 3L)
+    // the ALGORITHM entry points derive the count via nodeCountFrom over a
+    // checkpointed view of the PRUNED edges — countSource must win there
+    // too, or WCC/SCC/LP on a dedup-built graph drop the singleton AND
+    // memoize the shrunken count for every later read (round-5 review)
+    val g3 = LinkGraph(edgesDF(in), Layout.Deduplicated)
+    val comps = graft.algos.Wcc.run(g3).components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
+    assert(g3.nodeCount == 3L) // the memoized value is the raw-input count
+    val g4 = LinkGraph(edgesDF(in), Layout.Deduplicated)
+    val labels = graft.algos.LabelPropagation.run(g4).labels.collect()
+    assert(labels.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
   }
 
   test("per-node neighbor accessors match the reference's el fixture") {
