@@ -42,10 +42,20 @@ import java.util.concurrent.atomic.AtomicBoolean
   *                                  dispatch, server.rs:187-258); algo in
   *                                  {page_rank, wcc, scc, label_propagation,
   *                                  degrees, triangle_count_local,
-  *                                  sssp:<start>}. `triangle_count` is the
-  *                                  one SCALAR compute: it stores nothing
-  *                                  and replies with the reference's
-  *                                  TriangleCountResult metrics struct
+  *                                  sssp:<start>}. Replies the reference's
+  *                                  MutateResult struct (actions.rs:
+  *                                  283-312): the stored property id plus
+  *                                  the per-algo result metrics —
+  *                                  `OK {"property":"page_rank",
+  *                                  "iterations":..,"error":..,
+  *                                  "converged":..,"compute_millis":..}`
+  *                                  (iterations/error/converged present
+  *                                  for the iterative algorithms, i.e.
+  *                                  everything but degrees and
+  *                                  triangle_count_local).
+  *                                  `triangle_count` is the one SCALAR
+  *                                  compute: it stores nothing and replies
+  *                                  the TriangleCountResult struct
   *                                  `OK {"triangle_count":..,
   *                                  "compute_millis":..}` (server.rs:
   *                                  461-474)
@@ -472,28 +482,51 @@ class CatalogServer(
       s"""{"triangle_count":$n,""" +
         s""""compute_millis":${(System.nanoTime() - t0) / 1000000}}"""
     } else {
-      val (prop, df: DataFrame) = algo match {
-        case "page_rank" =>
-          "page_rank" -> graft.algos.PageRank.run(graph).scores
-        case "wcc" =>
-          "wcc" -> graft.algos.Wcc.run(graph).components
-        case "scc" =>
-          "scc" -> graft.algos.Scc.run(graph).components
-        case "label_propagation" =>
-          "label_propagation" ->
-            graft.algos.LabelPropagation.run(graph).labels
-        case "degrees" => "degrees" -> graph.degrees
-        case "triangle_count_local" =>
-          "triangles" -> graft.algos.TriangleCount.perVertex(graph)
-        case s if s.startsWith("sssp:") =>
-          val start = s.stripPrefix("sssp:").toLong
-          s"sssp_$start" ->
-            graft.algos.Sssp.run(graph, graft.SsspConfig(start)).distances
-        case other => throw new IllegalArgumentException(
-          s"unknown algorithm '$other'")
-      }
+      // Property-storing computes reply the reference's MutateResult
+      // struct — the stored property id PLUS the per-algo result metrics
+      // (actions.rs:283-312, server.rs:409-445): PageRank carries its
+      // convergence stats (iterations, error), every algo carries
+      // compute_millis. Our iterative algorithms all return
+      // ConvergenceStats, so the stats ride along wherever they exist;
+      // degree/per-vertex-tc computes are single-pass (no stats struct).
+      val t0 = System.nanoTime()
+      val (prop, df: DataFrame, stats: Option[graft.ConvergenceStats]) =
+        algo match {
+          case "page_rank" =>
+            val r = graft.algos.PageRank.run(graph)
+            ("page_rank", r.scores, Some(r.stats))
+          case "wcc" =>
+            val r = graft.algos.Wcc.run(graph)
+            ("wcc", r.components, Some(r.stats))
+          case "scc" =>
+            val r = graft.algos.Scc.run(graph)
+            ("scc", r.components, Some(r.stats))
+          case "label_propagation" =>
+            val r = graft.algos.LabelPropagation.run(graph)
+            ("label_propagation", r.labels, Some(r.stats))
+          case "degrees" => ("degrees", graph.degrees, None)
+          case "triangle_count_local" =>
+            ("triangles", graft.algos.TriangleCount.perVertex(graph), None)
+          case s if s.startsWith("sssp:") =>
+            val start = s.stripPrefix("sssp:").toLong
+            val r = graft.algos.Sssp.run(graph, graft.SsspConfig(start))
+            (s"sssp_$start", r.distances, Some(r.stats))
+          case other => throw new IllegalArgumentException(
+            s"unknown algorithm '$other'")
+        }
+      // the millis wrap the property WRITE too: the algo DataFrames are
+      // lazy, so the compute itself executes inside writeProperty
       catalog.writeProperty(g, prop, df)
-      prop
+      val ms = (System.nanoTime() - t0) / 1000000
+      val statsJson = stats.map { s =>
+        // a non-finite error (possible before the first probe) must not
+        // produce bare NaN/Infinity — that is invalid JSON
+        val err = if (java.lang.Double.isFinite(s.error)) s.error.toString
+                  else "\"" + s.error + "\""
+        s""""iterations":${s.iterations},"error":$err,""" +
+          s""""converged":${s.converged},"""
+      }.getOrElse("")
+      s"""{"property":"$prop",$statsJson"compute_millis":$ms}"""
     }
   }
 

@@ -27,6 +27,22 @@ class CatalogServerSpec extends SparkSpec {
     assert(reply.startsWith(
       s"""OK {"node_count":$nc,"edge_count":$ec,"create_millis":"""), reply)
 
+  /** Property-storing COMPUTE replies the reference's MutateResult struct
+    * (actions.rs:283-312): the stored property id plus the per-algo
+    * metrics — convergence stats for the iterative algorithms,
+    * compute_millis always.
+    */
+  private def assertComputed(
+      reply: String, prop: String, stats: Boolean = true): Unit = {
+    assert(reply.startsWith(s"""OK {"property":"$prop","""), reply)
+    assert(reply.contains("\"compute_millis\":"), reply)
+    if (stats) {
+      assert(reply.contains("\"iterations\":"), reply)
+      assert(reply.contains("\"error\":"), reply)
+      assert(reply.contains("\"converged\":"), reply)
+    } else assert(!reply.contains("\"iterations\":"), reply)
+  }
+
   test("create -> compute -> stream property over a live socket") {
     val s = spark
     import s.implicits._
@@ -53,7 +69,7 @@ class CatalogServerSpec extends SparkSpec {
       assert(readBlock(in) == Seq("g\tdirected\t5\t3"))
 
       out.println("COMPUTE g wcc")
-      assert(in.readLine() == "OK wcc")
+      assertComputed(in.readLine(), "wcc")
 
       out.println("PROPS g")
       assert(in.readLine() == "OK")
@@ -73,7 +89,7 @@ class CatalogServerSpec extends SparkSpec {
 
       // parameterized compute dispatch: sssp:<start> names its property
       out.println("COMPUTE g sssp:0")
-      assert(in.readLine() == "OK sssp_0")
+      assertComputed(in.readLine(), "sssp_0")
       out.println("GET g sssp_0")
       assert(in.readLine() == "OK")
       val dists = readBlock(in).map { l =>
@@ -162,7 +178,7 @@ class CatalogServerSpec extends SparkSpec {
 
       // per-vertex variant lands as a property like every other algo
       out.println("COMPUTE g triangle_count_local")
-      assert(in.readLine() == "OK triangles")
+      assertComputed(in.readLine(), "triangles", stats = false)
       out.println("GET g triangles")
       assert(in.readLine() == "OK")
       val tris = readBlock(in).map { l =>
@@ -178,7 +194,7 @@ class CatalogServerSpec extends SparkSpec {
       assert(in.readLine() == "OK")
       assert(readBlock(in) == Seq("g\tundirected\t4\t8"))
       out.println("COMPUTE g degrees")
-      assert(in.readLine() == "OK degrees")
+      assertComputed(in.readLine(), "degrees", stats = false)
       out.println("GET g degrees")
       assert(in.readLine() == "OK")
       val degs = readBlock(in).map { l =>
@@ -233,7 +249,7 @@ class CatalogServerSpec extends SparkSpec {
       out.println("GET b") // sanity: still needs a property
       assert(in.readLine().startsWith("ERR"))
       out.println("COMPUTE b degrees")
-      assert(in.readLine() == "OK degrees")
+      assertComputed(in.readLine(), "degrees", stats = false)
       out.println("GET b degrees")
       assert(in.readLine() == "OK")
       val degs = readBlock(in).map { l =>
@@ -282,7 +298,7 @@ class CatalogServerSpec extends SparkSpec {
       // computed against the old edges are dropped, not served as if
       // they described the new graph
       out.println("COMPUTE l degrees")
-      assert(in.readLine() == "OK degrees")
+      assertComputed(in.readLine(), "degrees", stats = false)
       out.println(s"CREATE l $root/edges.el format=edge_list")
       assertCreated(in.readLine(), nc = 3, ec = 4)
       out.println("PROPS l")
@@ -350,7 +366,7 @@ class CatalogServerSpec extends SparkSpec {
       for (g <- Seq("a", "b"); algo <- Seq("page_rank", "wcc", "degrees");
            _ <- 0 until 2) {
         out.println(s"COMPUTE $g $algo")
-        assert(in.readLine() == s"OK $algo")
+        assertComputed(in.readLine(), algo, stats = algo != "degrees")
         assert(spark.sparkContext.getPersistentRDDs.size == baseline,
           s"persisted RDDs leaked after COMPUTE $g $algo")
       }
@@ -364,8 +380,8 @@ class CatalogServerSpec extends SparkSpec {
       t.start()
       out.println("COMPUTE a page_rank")
       t.join()
-      assert(in.readLine() == "OK page_rank")
-      assert(in2.readLine() == "OK wcc")
+      assertComputed(in.readLine(), "page_rank")
+      assertComputed(in2.readLine(), "wcc")
       out.println("GET a wcc")
       assert(in.readLine() == "OK")
       assert(readBlock(in).size == 5)
@@ -406,7 +422,7 @@ class CatalogServerSpec extends SparkSpec {
       out.println(s"CREATE g $root/edges")
       assert(readLineRaw().startsWith("OK {\"node_count\":5"))
       out.println("COMPUTE g page_rank")
-      assert(readLineRaw() == "OK page_rank")
+      assertComputed(readLineRaw(), "page_rank")
 
       // protocol errors stay line-mode (no binary follows an ERR)
       out.println("GETB g nope")
@@ -489,7 +505,7 @@ class CatalogServerSpec extends SparkSpec {
       out.println(s"CREATE g $root/edges")
       assert(readLineRaw().startsWith("OK {\"node_count\":5"))
       out.println("COMPUTE g degrees")
-      assert(readLineRaw() == "OK degrees")
+      assertComputed(readLineRaw(), "degrees", stats = false)
 
       // Corrupt the stored property's COLUMN CHUNKS but not its footer
       // (parquet footers live at the tail): the schema read before the
@@ -565,12 +581,18 @@ class CatalogServerSpec extends SparkSpec {
       assert(ccode == 0)
       assert(created.startsWith("{\"node_count\":5,\"edge_count\":3,"),
         created)
-      assert(run("compute", "g", "wcc") == ((0, "wcc\n")))
+      // compute prints the MutateResult struct as JSON: the stored
+      // property id plus the convergence metrics (actions.rs:283-312)
+      val (wcode, wjson) = run("compute", "g", "wcc")
+      assert(wcode == 0)
+      assert(wjson.startsWith("{\"property\": \"wcc\""), wjson)
+      assert(wjson.contains("\"compute_millis\""), wjson)
+      assert(wjson.contains("\"iterations\""), wjson)
       assert(run("list")._2 == "g\tdirected\t5\t3\n")
       assert(run("remove", "g")._1 == 0)
       assert(run("list")._2 == "")
       assert(run("create", "g", s"$root/edges")._1 == 0)
-      assert(run("compute", "g", "wcc") == ((0, "wcc\n")))
+      assert(run("compute", "g", "wcc")._1 == 0)
       assert(run("props", "g")._2 == "wcc\n")
       val (code, got) = run("get", "g", "wcc")
       assert(code == 0)

@@ -14,8 +14,11 @@ Library use::
 
     with GraftClient("127.0.0.1", 4632) as c:
         c.create("g", "/path/to/edges.parquet")
-        prop = c.compute("g", "wcc")      # -> "wcc"
-        rows = c.get("g", prop, limit=10) # -> [(0, 0), (1, 0), ...]
+        res = c.compute("g", "wcc")      # MutateResult dict:
+        #   {"property": "wcc", "iterations": .., "error": ..,
+        #    "converged": .., "compute_millis": ..}
+        rows = c.get("g", res["property"], limit=10)
+        #   -> [(0, 0), (1, 0), ...]
 
 CLI use (one command per invocation)::
 
@@ -35,6 +38,7 @@ CLI use (one command per invocation)::
 everything else is pure standard library (the same dependency split as
 the reference's Python surface: Arrow only on the bulk data plane).
 """
+import json
 import socket
 import sys
 
@@ -133,13 +137,17 @@ class GraftClient:
         return self._status()
 
     def compute(self, graph, algo):
-        """Run an algorithm server-side; returns the stored property name
-        (e.g. compute(g, "sssp:0") -> "sssp_0"). The one scalar algo,
-        ``triangle_count``, stores nothing and returns the reference's
-        TriangleCountResult metrics struct as a JSON string
-        ('{"triangle_count":..,"compute_millis":..}')."""
+        """Run an algorithm server-side; returns the reference's
+        MutateResult struct (actions.rs:283-312) as a dict: the stored
+        property name plus the per-algo metrics, e.g.
+        ``{"property": "sssp_0", "iterations": 4, "error": 0.0,
+        "converged": True, "compute_millis": 12}`` (convergence stats
+        present for the iterative algorithms). The one scalar algo,
+        ``triangle_count``, stores nothing and returns the
+        TriangleCountResult struct
+        (``{"triangle_count":..,"compute_millis":..}``)."""
         self._send("COMPUTE", graph, algo)
-        return self._status()
+        return json.loads(self._status())
 
     def to_undirected(self, graph, layout=None):
         """Replace the graph with its undirected form in place (the
@@ -253,7 +261,7 @@ def main(argv):
         elif cmd == "remove":
             print(c.remove(args[0]))
         elif cmd == "compute":
-            print(c.compute(args[0], args[1]))
+            print(json.dumps(c.compute(args[0], args[1])))
         elif cmd == "to_undirected":
             print(c.to_undirected(args[0]))
         elif cmd == "to_relabeled":
