@@ -128,6 +128,12 @@ object Scaling {
   @volatile private var timesEdges: Long = 0L
   def lastEdges: Long = timesEdges
 
+  // per-path edge-count memo across sessions of one protocol run (the
+  // materialized table is spec-file guarded, so the count is a constant
+  // of the path for the process lifetime)
+  private val edgeCountMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** One session on `master`: warmup run (builds the caches) + `timedRuns`
     * timed PageRank runs; returns the per-run seconds. The sandbox VM shows
     * up to 2x host-noise swings between invocations, so protocols should
@@ -147,14 +153,28 @@ object Scaling {
     try {
       val edges = spark.read.parquet(path)
       val g = LinkGraph(edges, numPartitions = p)
-      timesEdges = g.edgeCount
+      // the edge count is a fact of the materialized table (spec-file
+      // guarded), identical for every session of a protocol run over the
+      // same path — memoize it process-wide so only the FIRST session pays
+      // the 448M-row count (~30 s at 2 cores of untimed budget per session
+      // otherwise; round-5 driver-budget fit)
+      timesEdges = edgeCountMemo.getOrElseUpdate(path, g.edgeCount)
       // (no bySrc materialization here: broadcast-mode PageRank reads only
       // the compressed multiplicities cache, built during the warmup run —
       // caching the raw edge table would only burn executor memory)
       val cfg = PageRankConfig(supersteps, 0.0, 0.85)
       val bv = if (broadcastState) 5000000L else 0L
       // fixed-iteration runs are lazy — force the full pipeline with count()
-      PageRank.run(g, cfg, broadcastVertices = bv).scores.count() // warmup
+      // Warmup at ONE superstep: its job is building the LinkGraph's
+      // compressed-multiplicities cache and JITing the superstep code
+      // path, both of which are identical per iteration — paying 5
+      // supersteps of untimed wall-clock here bought nothing (the cache
+      // lives on `g`, shared by the timed runs; min-of-k already absorbs
+      // residual first-run JIT). Cuts ~100 s of untimed budget per
+      // 2-core session, which is what lets retry pairs fit the driver's
+      // 2100 s window (BASELINE.md round-5 roll log).
+      PageRank.run(g, cfg.copy(maxIterations = 1),
+        broadcastVertices = bv).scores.count() // warmup
       (0 until timedRuns).map { _ =>
         val t0 = System.nanoTime()
         PageRank.run(g, cfg, broadcastVertices = bv).scores.count()
