@@ -252,7 +252,26 @@ object SparkEntry {
         (0 until 8).map(j =>
           round(element_at(col("features"), j + 1), 4).as(s"f$j"))
       f.select(cols: _*)
-    })
+    }),
+
+    // nearest-neighbor resize to a 4x4 grid through the decoder lane; the
+    // pixel array is flattened to p0..p15 long columns for the driver's
+    // comparator (same reason m_features rounds its lanes)
+    "m_resize" -> ((s, dir) => {
+      val r = graft.multimodal.Multimodal.resize(
+        graft.multimodal.Multimodal.asBlobs(docs(s, dir)), t = 4).toDF()
+      val cols = Seq(col("doc_id"), col("width"), col("height")) ++
+        (0 until 16).map(j =>
+          element_at(col("pixels"), j + 1).as(s"p$j"))
+      r.select(cols: _*)
+    }),
+
+    // every-2nd 32-byte frame of the fake video: one->many rows through
+    // the decoder lane (iterator flatMap, partition-preserving)
+    "m_frames" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.asBlobs(docs(s, dir)),
+        frameLen = 32, every = 2).toDF())
   )
 
   // LSH / banding parameters shared between the Spark queries and the
@@ -811,6 +830,49 @@ object SparkEntry {
          |  (16 + (b.n // 16) % 16)::BIGINT AS height,
          |  ${feats.mkString(",\n  ")}
          |FROM b LEFT JOIN f USING (doc_id)""".stripMargin
-    }
+    },
+
+    // nearest-neighbor 4x4 resize: source pixel (r,c) is payload byte
+    // ((r*h/4)*w + c*w/4) mod n under FakeDecoder's w/h rule — the exact
+    // integer arithmetic Multimodal.resize runs; empty payloads resize to
+    // all-zero pixels (the LEFT JOIN + coalesce path)
+    "m_resize" -> {
+      val pcols = (0 until 16).map(j =>
+        s"coalesce(max(CASE WHEN v.p = $j THEN v.val END), 0)::BIGINT AS p$j")
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+         |    octet_length(encode(text))::BIGINT AS n FROM documents),
+         |px AS (SELECT b.doc_id, (r * 4 + c) AS p,
+         |    ((r * (16 + (b.n // 16) % 16) // 4) * (16 + b.n % 16)
+         |      + (c * (16 + b.n % 16) // 4)) % b.n AS idx
+         |  FROM b, unnest(generate_series(0, 3)) AS tr(r),
+         |       unnest(generate_series(0, 3)) AS tc(c)
+         |  WHERE b.n > 0),
+         |v AS (SELECT px.doc_id, px.p,
+         |    (strpos('0123456789ABCDEF',
+         |       substr(b.h, (2*(px.idx+1)-1)::INT, 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF',
+         |         substr(b.h, (2*(px.idx+1))::INT, 1)) - 1) AS val
+         |  FROM px JOIN b USING (doc_id))
+         |SELECT b.doc_id,
+         |  (16 + b.n % 16)::BIGINT AS width,
+         |  (16 + (b.n // 16) % 16)::BIGINT AS height,
+         |  ${pcols.mkString(",\n  ")}
+         |FROM b LEFT JOIN v USING (doc_id)
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    // every-2nd 32-byte frame: group payload bytes by (i-1)/32, keep even
+    // frame indices, count + sum — Multimodal.sampleFrames restated
+    "m_frames" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text))::BIGINT AS n FROM documents),
+        |bytes AS (SELECT b.doc_id, (i - 1) // 32 AS f,
+        |    (strpos('0123456789ABCDEF', substr(b.h, 2*i-1, 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substr(b.h, 2*i, 1)) - 1)
+        |      AS byte
+        |  FROM b, unnest(generate_series(1, b.n::INT)) AS t(i))
+        |SELECT doc_id, f::BIGINT AS frame_idx, count(*)::BIGINT AS frame_len,
+        |  sum(byte)::BIGINT AS byte_sum
+        |FROM bytes WHERE f % 2 = 0 GROUP BY 1, 2""".stripMargin
   )
 }

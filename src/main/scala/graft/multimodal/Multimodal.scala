@@ -70,4 +70,83 @@ object Multimodal {
         }
       }
   }
+
+  case class ResizeRow(doc_id: Long, width: Long, height: Long,
+      pixels: Array[Long])
+
+  /** Resize to a t x t grid by nearest-neighbor over the decoded image
+    * (the payload bytes read as a row-major `width x height` plane, same
+    * dimension rule as FakeDecoder). One row in, one row out, map-only —
+    * the same justified opaque-decoder mapPartitions lane as
+    * extractFeatures (a real deployment resamples the decoded pixel
+    * buffer here). Pure integer arithmetic (source index
+    * `((r*h/t)*w + c*w/t) mod n`), so the DuckDB oracle states the
+    * identical computation over the payload bytes; an empty payload
+    * resizes to all-zero pixels.
+    */
+  def resize(blobs: DataFrame, t: Int = 4): Dataset[ResizeRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"), col("media_type"),
+        col("n_bytes")).as[BlobRow]
+      .mapPartitions { batch =>
+        batch.map { row =>
+          val n = row.payload.length
+          val w = 16 + (n % 16)
+          val h = 16 + ((n / 16) % 16)
+          val px = new Array[Long](t * t)
+          if (n > 0) {
+            var r = 0
+            while (r < t) {
+              var c = 0
+              while (c < t) {
+                val idx = ((r * h / t) * w + (c * w / t)) % n
+                px(r * t + c) = (row.payload(idx) & 0xFF).toLong
+                c += 1
+              }
+              r += 1
+            }
+          }
+          ResizeRow(row.doc_id, w.toLong, h.toLong, px)
+        }
+      }
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame_len: Long,
+      byte_sum: Long)
+
+  /** Frame sampling: the payload read as a fake "video" of fixed
+    * `frameLen`-byte frames (the last frame may be short); emit every
+    * `every`-th frame's index, length, and byte sum. One row in, MANY
+    * rows out through the decoder lane (iterator flatMap inside
+    * mapPartitions — partition-preserving, no shuffle), the plumbing a
+    * real frame extractor needs. Deterministic integer arithmetic,
+    * restated exactly by the DuckDB oracle; an empty payload has no
+    * frames and emits nothing.
+    */
+  def sampleFrames(blobs: DataFrame, frameLen: Int = 32,
+      every: Int = 2): Dataset[FrameRow] = {
+    require(frameLen > 0 && every > 0,
+      s"frameLen/every must be positive, got $frameLen/$every")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"), col("media_type"),
+        col("n_bytes")).as[BlobRow]
+      .mapPartitions { batch =>
+        batch.flatMap { row =>
+          val n = row.payload.length
+          val numFrames = (n + frameLen - 1) / frameLen
+          (0 until numFrames).iterator
+            .filter(_ % every == 0)
+            .map { f =>
+              val from = f * frameLen
+              val until = math.min(n, from + frameLen)
+              var sum = 0L
+              var i = from
+              while (i < until) { sum += (row.payload(i) & 0xFF); i += 1 }
+              FrameRow(row.doc_id, f.toLong, (until - from).toLong, sum)
+            }
+        }
+      }
+  }
 }

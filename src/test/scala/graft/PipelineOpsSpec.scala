@@ -267,4 +267,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.zip(again).forall { case (x, y) =>
       x.features.sameElements(y.features) && x.width == y.width })
   }
+
+  test("multimodal resize: nearest-neighbor 4x4 matches a direct " +
+      "reimplementation; empty payload -> zero pixels; no shuffle") {
+    val s = spark
+    import s.implicits._
+    val withEmpty = docs.union(Seq((6L, "")).toDF("doc_id", "text"))
+    val blobs = Multimodal.asBlobs(withEmpty).repartition(3)
+    val resized = Multimodal.resize(blobs, t = 4)
+    assert(resized.rdd.getNumPartitions == 3) // mapPartitions: no shuffle
+    val byId = resized.collect().map(r => r.doc_id -> r).toMap
+    withEmpty.collect().foreach { row =>
+      val pb = row.getString(1).getBytes("UTF-8")
+      val n = pb.length
+      val w = 16 + n % 16
+      val h = 16 + (n / 16) % 16
+      val exp = Array.tabulate(16) { j =>
+        if (n == 0) 0L
+        else {
+          val (r, c) = (j / 4, j % 4)
+          (pb(((r * h / 4) * w + (c * w / 4)) % n) & 0xFF).toLong
+        }
+      }
+      val got = byId(row.getLong(0))
+      assert(got.width == w && got.height == h)
+      assert(got.pixels.sameElements(exp))
+    }
+  }
+
+  test("multimodal frame sampling: every-2nd 32-byte frame, short tail " +
+      "frame kept, empty payload emits nothing") {
+    val s = spark
+    import s.implicits._
+    val withEmpty = docs.union(Seq((6L, "")).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asBlobs(withEmpty), frameLen = 32, every = 2)
+      .collect().groupBy(_.doc_id)
+    assert(!frames.contains(6L)) // no bytes -> no frames
+    withEmpty.collect().filter(_.getString(1).nonEmpty).foreach { row =>
+      val pb = row.getString(1).getBytes("UTF-8")
+      val n = pb.length
+      val exp = (0 until (n + 31) / 32).filter(_ % 2 == 0).map { f =>
+        val until = math.min(n, f * 32 + 32)
+        (f.toLong, (until - f * 32).toLong,
+          (f * 32 until until).map(pb(_) & 0xFF).map(_.toLong).sum)
+      }
+      val got = frames(row.getLong(0)).sortBy(_.frame_idx)
+        .map(x => (x.frame_idx, x.frame_len, x.byte_sum)).toSeq
+      assert(got == exp)
+    }
+    // docs here are 43-45 chars: 2 frames each, only frame 0 sampled,
+    // with the tail frame (len < 32) dropped by the every-2 stride —
+    // exercise the stride by sampling every frame too
+    val all = Multimodal.sampleFrames(
+      Multimodal.asBlobs(docs), frameLen = 32, every = 1)
+      .collect().groupBy(_.doc_id)
+    assert(all(0L).length == 2 && all(0L).map(_.frame_len).sum == 43)
+  }
 }
