@@ -183,6 +183,16 @@ object SparkEntry {
     "t_stats" -> ((s, dir) =>
       graft.text.TextAnalysis.stats(docs(s, dir))),
 
+    // deterministic hashed-id train/val/test assignment (map-only; the
+    // oracle states the identical portable-hash bucket arithmetic)
+    "t_split" -> ((s, dir) =>
+      graft.text.Curation.assignSplits(docs(s, dir))),
+
+    // per-language quality top-k (two-phase bucketed ranking; the oracle
+    // states the equivalent single-window form)
+    "t_curate" -> ((s, dir) =>
+      graft.text.Curation.topKByQuality(docs(s, dir), CURATE_K)),
+
     "d_exact_dup" -> ((s, dir) =>
       graft.dedup.Dedup.exact(docs(s, dir))),
 
@@ -282,6 +292,7 @@ object SparkEntry {
   private val EMB_DIMS = 64
   private val EMB_PLANES = 6
   private val EMB_TABLES = 4
+  private val CURATE_K = 10
   private val ANN_PLANES = 4
   private val ANN_TABLES = 2
   private val IVF_NLIST = 16
@@ -595,6 +606,51 @@ object SparkEntry {
          |    AS quality,
          |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
          |FROM t""".stripMargin
+    },
+
+    "t_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${graft.functions.PortableHash.phashSql("doc_id")} % 100
+         |    AS bucket FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+
+    "t_curate" -> {
+      def mk(markers: Seq[String]): String =
+        "len(list_filter(w, x -> x IN (" +
+          markers.map(m => s"'$m'").mkString(",") + ")))"
+      val en = mk(Seq("the", "a", "of", "and", "is"))
+      val es = mk(Seq("el", "la", "los", "de", "y"))
+      val de = mk(Seq("der", "die", "das", "und", "ist"))
+      val fr = mk(Seq("le", "la", "les", "et", "est"))
+      s"""WITH t AS (SELECT doc_id, text,
+         |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1) < 10
+         |    THEN 'und'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 4 THEN 'en'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 3 THEN 'es'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 2 THEN 'de'
+         |    ELSE 'fr' END AS lang,
+         |  round(0.4 * least(len(w)/64.0, 1.0)
+         |    + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0
+         |        / greatest(length(text), 1))
+         |    + 0.2 * (1.0 -
+         |        length(regexp_replace(text, '[^.,;:!?]', '', 'g'))*1.0
+         |        / greatest(length(text), 1))
+         |    + 0.1 * least(($en*1.0 / greatest(len(w), 1)) * 5.0, 1.0), 6)
+         |    AS quality FROM t),
+         |r AS (SELECT doc_id, lang, quality,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality DESC, doc_id) AS rank FROM s)
+         |SELECT doc_id, lang, quality, rank FROM r
+         |WHERE rank <= $CURATE_K""".stripMargin
     },
 
     "d_exact_dup" ->

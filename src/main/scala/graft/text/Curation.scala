@@ -1,0 +1,90 @@
+package graft.text
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * train/val/test splitting and per-language quality-based top-k selection
+  * over the `documents` table. Both are stated identically in the DuckDB
+  * oracle (SparkEntry.oracleSql) via the engine-portable md5 hash
+  * ([[PortableHash]]) and plain window SQL.
+  *
+  * Scale notes (100 TB):
+  *  - [[assignSplits]] is a single map-only projection — the split of a row
+  *    is a pure function of its id, so assignment is reproducible across
+  *    reruns, engines, and table re-partitioning, and never needs a join
+  *    against a stored assignment table.
+  *  - [[topKByQuality]] is the per-group top-k idiom that survives few-group
+  *    skew: a naive `row_number() OVER (PARTITION BY lang)` shuffles the
+  *    ENTIRE corpus into one task per language (a handful of languages =
+  *    a handful of tasks at 100 TB). Phase 1 ranks within (lang, bucket)
+  *    for `fanout` hash buckets — parallelism = #langs x fanout, each task
+  *    bounded — and keeps at most k rows per bucket, which provably
+  *    contains the global top k (any row in the global top k ranks <= k
+  *    inside its own bucket). Phase 2 re-ranks the <= k*fanout survivors
+  *    per language, a driver-trivial volume. The oracle states the
+  *    single-window form; the two-phase plan is semantically identical.
+  */
+object Curation {
+
+  /** Deterministic percentile bucket in [0, 100): portable 60-bit hash of
+    * the id, mod 100. Identical statement in DuckDB:
+    * `PortableHash.phashSql("doc_id") % 100`.
+    */
+  def splitBucket(id: Column): Column =
+    pmod(PortableHash.phash(id), lit(100L))
+
+  /** Assign every document to train/val/test by hashed-id percentile:
+    * bucket < trainPct -> train, < trainPct+valPct -> val, else test.
+    * Exactly one split per row; proportions converge to the requested
+    * percentages by hash uniformity. Map-only, no shuffle.
+    */
+  def assignSplits(docs: DataFrame, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val b = splitBucket(col("doc_id"))
+    docs.select(
+      col("doc_id"),
+      b.as("bucket"),
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /** Top-k documents per detected language by composite quality score
+    * (TextAnalysis.langId / qualityScore), rank ties broken by doc_id asc
+    * so the selection is total-order deterministic. Two-phase bucketed
+    * ranking (see object scaladoc); `fanout` <= 1 degenerates to the plain
+    * single-window form (used by the spec to assert phase-equivalence).
+    * Returns (doc_id, lang, quality, rank 1..k per lang).
+    */
+  def topKByQuality(docs: DataFrame, k: Int, fanout: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val f =
+      if (fanout != 0) fanout
+      else docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt
+    val scored = docs.select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val ranked =
+      if (f <= 1) scored
+      else {
+        val wLocal = Window
+          .partitionBy(col("lang"),
+            pmod(PortableHash.phash(col("doc_id")), lit(f.toLong)))
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        scored.withColumn("r0", row_number().over(wLocal))
+          .filter(col("r0") <= k)
+          .drop("r0")
+      }
+    val wGlobal = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    ranked.withColumn("rank", row_number().over(wGlobal).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.text.Curation
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators: deterministic split assignment and
+  * per-language quality top-k (two-phase bucketed ranking).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def docsDF(n: Int) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val langWords = Seq(
+      Seq("the", "a", "of", "and", "is", "cat", "sat", "mat"),
+      Seq("el", "la", "los", "de", "y", "gato", "casa"),
+      Seq("der", "die", "das", "und", "ist", "hund"),
+      Seq("le", "la", "les", "et", "est", "chat"))
+    (0 until n).map { i =>
+      val words = langWords(rnd.nextInt(langWords.size))
+      val len = 3 + rnd.nextInt(40)
+      val text = Seq.fill(len)(words(rnd.nextInt(words.size)))
+        .mkString(" ") + (if (rnd.nextBoolean()) "." else "")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("assignSplits: exactly one label per row, label matches bucket, " +
+      "buckets in [0,100)") {
+    val out = Curation.assignSplits(docsDF(2000)).collect()
+    assert(out.length == 2000)
+    out.foreach { r =>
+      val bucket = r.getLong(1)
+      val split = r.getString(2)
+      assert(bucket >= 0 && bucket < 100, s"bucket out of range: $bucket")
+      val expected =
+        if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(split == expected, s"doc ${r.getLong(0)}: $split != $expected")
+    }
+  }
+
+  test("assignSplits: deterministic across invocations and roughly " +
+      "proportional") {
+    val df = docsDF(2000)
+    val a = Curation.assignSplits(df).collect().map(r =>
+      (r.getLong(0), r.getString(2))).toMap
+    val b = Curation.assignSplits(df).collect().map(r =>
+      (r.getLong(0), r.getString(2))).toMap
+    assert(a == b)
+    val train = a.values.count(_ == "train").toDouble / a.size
+    val v = a.values.count(_ == "val").toDouble / a.size
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+    assert(v > 0.05 && v < 0.15, s"val fraction $v")
+  }
+
+  test("assignSplits: custom percentages partition the id space") {
+    val out = Curation.assignSplits(docsDF(500), trainPct = 50, valPct = 25)
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 500)
+    assert(out.keySet == Set("train", "val", "test"))
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(docsDF(1), trainPct = 90, valPct = 20)
+    }
+  }
+
+  test("topKByQuality: bucketed two-phase ranking equals the " +
+      "single-window form exactly") {
+    val df = docsDF(600)
+    val plain = Curation.topKByQuality(df, 7, fanout = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val bucketed = Curation.topKByQuality(df, 7, fanout = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(bucketed == plain)
+  }
+
+  test("topKByQuality: matches a driver-side brute force with the " +
+      "(quality desc, doc_id asc) total order") {
+    val df = docsDF(400)
+    val k = 5
+    val scored = df.select(
+      col("doc_id"),
+      graft.text.TextAnalysis.langId(col("text")).as("lang"),
+      graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = scored.toSeq.groupBy(_._2).flatMap { case (lang, rows) =>
+      rows.sortBy { case (id, _, q) => (-q, id) }.take(k).zipWithIndex
+        .map { case ((id, _, q), i) => (id, lang, q, (i + 1).toLong) }
+    }.toSet
+    val got = Curation.topKByQuality(df, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("topKByQuality: per-language counts bounded by k, ranks contiguous") {
+    val out = Curation.topKByQuality(docsDF(300), 4).collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val ranks = rows.map(_._2).sorted
+      assert(ranks.length <= 4, s"$lang: ${ranks.length} rows")
+      assert(ranks.sameElements(1L to ranks.length),
+        s"$lang ranks not contiguous: ${ranks.mkString(",")}")
+    }
+  }
+}
