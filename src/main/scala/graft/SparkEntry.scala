@@ -193,6 +193,17 @@ object SparkEntry {
     "t_curate" -> ((s, dir) =>
       graft.text.Curation.topKByQuality(docs(s, dir), CURATE_K)),
 
+    // benchmark decontamination: per-training-doc count of distinct
+    // word-3-shingles shared with the benchmark slice (doc_id % 10 == 7) +
+    // 0/1 flag; benchmark shingle set broadcast, corpus probes map-side
+    "t_decontam" -> ((s, dir) =>
+      graft.text.Curation.decontaminate(docs(s, dir))),
+
+    // language-mixture sampling weights: target_share / observed_share per
+    // detected language ('es' deliberately absent from targets -> weight 0)
+    "t_mix" -> ((s, dir) =>
+      graft.text.Curation.mixtureWeights(docs(s, dir), MIX_TARGETS)),
+
     "d_exact_dup" -> ((s, dir) =>
       graft.dedup.Dedup.exact(docs(s, dir))),
 
@@ -293,6 +304,10 @@ object SparkEntry {
   private val EMB_PLANES = 6
   private val EMB_TABLES = 4
   private val CURATE_K = 10
+  // mixture targets shared between t_mix and its oracle; 'es' deliberately
+  // absent so the zero-weight (drop-from-mix) path is driver-gated too
+  private val MIX_TARGETS =
+    Map("en" -> 0.5, "und" -> 0.3, "de" -> 0.1, "fr" -> 0.1)
   private val ANN_PLANES = 4
   private val ANN_TABLES = 2
   private val IVF_NLIST = 16
@@ -651,6 +666,51 @@ object SparkEntry {
          |    ORDER BY quality DESC, doc_id) AS rank FROM s)
          |SELECT doc_id, lang, quality, rank FROM r
          |WHERE rank <= $CURATE_K""".stripMargin
+    },
+
+    // decontamination: shares the corpus' one shingle definition
+    // (TOKS_SH_CTES); benchmark slice = doc_id % 10 = 7; sh is DISTINCT
+    // per (doc_id, shingle) so count(*) counts distinct shared shingles
+    "t_decontam" ->
+      s"""WITH $TOKS_SH_CTES,
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 7),
+         |hits AS (SELECT sh.doc_id, count(*)::BIGINT AS n_hits
+         |  FROM sh JOIN bench USING (s)
+         |  WHERE sh.doc_id % 10 <> 7 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |  (CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 10 <> 7""".stripMargin,
+
+    "t_mix" -> {
+      def mk(markers: Seq[String]): String =
+        "len(list_filter(w, x -> x IN (" +
+          markers.map(m => s"'$m'").mkString(",") + ")))"
+      val en = mk(Seq("the", "a", "of", "and", "is"))
+      val es = mk(Seq("el", "la", "los", "de", "y"))
+      val de = mk(Seq("der", "die", "das", "und", "ist"))
+      val fr = mk(Seq("le", "la", "les", "et", "est"))
+      val tgt = MIX_TARGETS.map { case (l, w) => s"WHEN '$l' THEN $w" }
+        .mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text,
+         |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1) < 10
+         |    THEN 'und'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 4 THEN 'en'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 3 THEN 'es'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 2 THEN 'de'
+         |    ELSE 'fr' END AS lang FROM t),
+         |c AS (SELECT lang, count(*) AS n FROM s GROUP BY 1),
+         |tot AS (SELECT sum(n) AS total FROM c)
+         |SELECT s.doc_id, s.lang,
+         |  round((CASE s.lang $tgt ELSE 0.0 END)
+         |    * tot.total / c.n, 6) AS weight
+         |FROM s JOIN c USING (lang) CROSS JOIN tot""".stripMargin
     },
 
     "d_exact_dup" ->

@@ -87,4 +87,70 @@ object Curation {
     ranked.withColumn("rank", row_number().over(wGlobal).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * k-shingle (TextAnalysis.shingles / Dedup.docShingles — the corpus'
+    * one shingle definition) with the benchmark slice. The benchmark here
+    * is the deterministic in-corpus slice `doc_id % benchMod == benchRem`
+    * (no external data in this sandbox); in production the filter is
+    * replaced by a real benchmark table of the same (doc_id, text) shape.
+    * Returns every non-benchmark document with the count of its distinct
+    * shingles that occur anywhere in the benchmark (`n_hits`) and a 0/1
+    * `contaminated` flag — zero-hit documents are kept so the output is a
+    * per-document verdict over the whole training corpus, not a hit list.
+    *
+    * Scale shape (100 TB): an eval benchmark is small by nature (thousands
+    * of documents, not terabytes), so its distinct-shingle set is
+    * `broadcast` and the corpus side probes it map-side; the only corpus
+    * shuffle is the per-document hit count. No corpus self-join anywhere.
+    * `broadcastBench = false` falls back to a shuffled equi-join for a
+    * benchmark too large to broadcast.
+    */
+  def decontaminate(docs: DataFrame, benchMod: Int = 10, benchRem: Int = 7,
+      k: Int = 3, broadcastBench: Boolean = true): DataFrame = {
+    require(benchMod > 1 && benchRem >= 0 && benchRem < benchMod,
+      s"invalid benchmark slice: mod=$benchMod rem=$benchRem")
+    val isBench = pmod(col("doc_id"), lit(benchMod.toLong)) === benchRem
+    val sh = graft.dedup.Dedup.docShingles(docs, k)
+    val benchSh = sh.filter(isBench).select(col("shingle")).distinct()
+    val hits = sh.filter(!isBench)
+      .join(if (broadcastBench) broadcast(benchSh) else benchSh,
+        Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs.filter(!isBench).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("long")
+          .as("contaminated"))
+  }
+
+  /** Language-mixture sampling weights: given target corpus shares per
+    * detected language, the per-document weight that resamples the observed
+    * language distribution into the target one —
+    * `weight(d) = target_share(lang(d)) / observed_share(lang(d))`,
+    * i.e. `target(lang) * corpus_total / lang_count`. Languages absent
+    * from `targets` weigh 0 (dropped from the mix). Weights are the direct
+    * input to weighted sampling / epoch-repeat factors in a training-data
+    * mixer.
+    *
+    * Scale shape (100 TB): one partially-aggregated count per language
+    * (a handful of rows), its total folded in by a cross join of two tiny
+    * aggregates, then `broadcast` back over the corpus — a map-side enrich;
+    * the corpus itself shuffles only for the language count.
+    */
+  def mixtureWeights(docs: DataFrame, targets: Map[String, Double])
+      : DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
+      "targets must be a non-empty map of non-negative shares")
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang"))
+    val counts = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val shares = counts.crossJoin(counts.agg(sum(col("n")).as("total")))
+    scored.join(broadcast(shares), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        round(coalesce(element_at(typedLit(targets), col("lang")),
+          lit(0.0)) * col("total").cast("double") /
+          col("n").cast("double"), 6).as("weight"))
+  }
 }

@@ -107,4 +107,69 @@ class CurationSpec extends SparkSpec {
         s"$lang ranks not contiguous: ${ranks.mkString(",")}")
     }
   }
+
+  test("decontaminate: shared-shingle docs flagged, disjoint docs kept " +
+      "with zero hits, benchmark slice excluded") {
+    val s = spark
+    import s.implicits._
+    // bench slice = doc_id % 10 == 7. Doc 7 is benchmark; doc 1 shares its
+    // full 3-shingle 'alpha beta gamma'; doc 2 shares none; doc 3 shares
+    // two distinct shingles of doc 17's 4-token text.
+    val df = Seq(
+      (7L, "alpha beta gamma"),
+      (17L, "one two three four"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "totally different words here"),
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "benchmark docs must be excluded")
+    assert(out(1L) == ((1L, 1L)))
+    assert(out(2L) == ((0L, 0L)))
+    // doc 3 shares 'one two three' and 'two three four'
+    assert(out(3L) == ((2L, 1L)))
+  }
+
+  test("decontaminate: broadcast and shuffled join modes agree exactly") {
+    val df = docsDF(400)
+    val fmt = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val bc = Curation.decontaminate(df).collect().map(fmt).toSet
+    val sj = Curation.decontaminate(df, broadcastBench = false)
+      .collect().map(fmt).toSet
+    assert(bc == sj)
+    assert(bc.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Curation.decontaminate(df, benchMod = 5, benchRem = 5)
+    }
+  }
+
+  test("mixtureWeights: weight = target_share / observed_share; absent " +
+      "languages weigh zero; per-language mass hits the target") {
+    val df = docsDF(500)
+    val targets = Map("en" -> 0.6, "de" -> 0.4)
+    val out = Curation.mixtureWeights(df, targets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.length == 500, "one weight per document")
+    val byLang = out.groupBy(_._2)
+    // every doc of one language carries the same weight
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"$lang weights differ")
+    }
+    // languages absent from targets -> 0
+    byLang.keySet.diff(targets.keySet).foreach { lang =>
+      assert(byLang(lang).head._3 == 0.0, s"$lang should weigh 0")
+    }
+    // sum of weights within a targeted language = target_share * total
+    targets.foreach { case (lang, share) =>
+      byLang.get(lang).foreach { rows =>
+        val mass = rows.map(_._3).sum
+        assert(math.abs(mass - share * 500) < 1e-2,
+          s"$lang mass $mass != ${share * 500}")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureWeights(df, Map.empty[String, Double])
+    }
+  }
 }
