@@ -204,6 +204,16 @@ object SparkEntry {
     "t_mix" -> ((s, dir) =>
       graft.text.Curation.mixtureWeights(docs(s, dir), MIX_TARGETS)),
 
+    // per-doc repetition metrics, entirely row-local (sorted-array fold for
+    // top-token multiplicity — no corpus-sized explode/groupBy shuffle)
+    "t_rep" -> ((s, dir) =>
+      graft.text.TextAnalysis.repetitionStats(docs(s, dir))),
+
+    // deterministic epoch-repeat materializer over the mixture weights:
+    // floor(w) copies + hash-thresholded fractional copy, row-local explode
+    "t_resample" -> ((s, dir) =>
+      graft.text.Curation.resampleByWeight(docs(s, dir), MIX_TARGETS)),
+
     "d_exact_dup" -> ((s, dir) =>
       graft.dedup.Dedup.exact(docs(s, dir))),
 
@@ -711,6 +721,58 @@ object SparkEntry {
          |  round((CASE s.lang $tgt ELSE 0.0 END)
          |    * tot.total / c.n, 6) AS weight
          |FROM s JOIN c USING (lang) CROSS JOIN tot""".stripMargin
+    },
+
+    // repetition metrics: the oracle may use the unnest/groupBy form —
+    // oracles need correctness, not the engine's map-only scale shape
+    "t_rep" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(c) AS top FROM cnt GROUP BY 1)
+        |SELECT t.doc_id, len(w)::BIGINT AS n_tokens,
+        |  round(len(list_distinct(w))*1.0 / greatest(len(w), 1), 6)
+        |    AS distinct_ratio,
+        |  round(m.top*1.0 / greatest(len(w), 1), 6) AS top_token_ratio
+        |FROM t JOIN m USING (doc_id)""".stripMargin,
+
+    "t_resample" -> {
+      def mk(markers: Seq[String]): String =
+        "len(list_filter(w, x -> x IN (" +
+          markers.map(m => s"'$m'").mkString(",") + ")))"
+      val en = mk(Seq("the", "a", "of", "and", "is"))
+      val es = mk(Seq("el", "la", "los", "de", "y"))
+      val de = mk(Seq("der", "die", "das", "und", "ist"))
+      val fr = mk(Seq("le", "la", "les", "et", "est"))
+      val tgt = MIX_TARGETS.map { case (l, w) => s"WHEN '$l' THEN $w" }
+        .mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text,
+         |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1) < 10
+         |    THEN 'und'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 4 THEN 'en'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 3 THEN 'es'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 2 THEN 'de'
+         |    ELSE 'fr' END AS lang FROM t),
+         |c AS (SELECT lang, count(*) AS n FROM s GROUP BY 1),
+         |tot AS (SELECT sum(n) AS total FROM c),
+         |wt AS (SELECT s.doc_id, s.lang,
+         |  round((CASE s.lang $tgt ELSE 0.0 END)
+         |    * tot.total / c.n, 6) AS weight
+         |  FROM s JOIN c USING (lang) CROSS JOIN tot),
+         |k AS (SELECT doc_id, lang,
+         |  (floor(weight) + CASE WHEN
+         |     ${graft.functions.PortableHash.phashSql("doc_id")} % 1000000
+         |       < floor((weight - floor(weight)) * 1000000)
+         |     THEN 1 ELSE 0 END)::BIGINT AS copies FROM wt)
+         |SELECT doc_id, lang, i AS copy
+         |FROM k, unnest(generate_series(1, copies)) AS u(i)
+         |WHERE copies > 0""".stripMargin
     },
 
     "d_exact_dup" ->

@@ -153,4 +153,31 @@ object Curation {
           lit(0.0)) * col("total").cast("double") /
           col("n").cast("double"), 6).as("weight"))
   }
+
+  /** Deterministic epoch-repeat materializer over [[mixtureWeights]]: emit
+    * each document `floor(weight)` times, plus one more copy when the
+    * document's portable-hash fraction falls below the fractional part of
+    * its weight — so expected copy counts equal the weights exactly while
+    * the realized output is a pure function of (doc_id, targets):
+    * reproducible across reruns, engines, and partitionings, no RNG state.
+    * Documents of untargeted languages (weight 0) disappear from the mix.
+    * Returns (doc_id, lang, copy 1..copies).
+    *
+    * Scale shape (100 TB): the weight join is [[mixtureWeights]]'s
+    * broadcast enrich; copy fan-out is a row-local `explode(sequence)` —
+    * output volume is exactly the resampled corpus size, nothing shuffles.
+    */
+  def resampleByWeight(docs: DataFrame, targets: Map[String, Double])
+      : DataFrame = {
+    val w = mixtureWeights(docs, targets)
+    val base = floor(col("weight"))
+    val frac = col("weight") - base.cast("double")
+    val extra =
+      (pmod(PortableHash.phash(col("doc_id")), lit(1000000L)) <
+        floor(frac * 1000000.0)).cast("long")
+    w.select(col("doc_id"), col("lang"), (base + extra).as("copies"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("copies"))).as("copy"))
+  }
 }

@@ -114,4 +114,45 @@ object TextAnalysis {
       langId(col("text")).as("lang_detected"),
       qualityScore(col("text")).as("quality"),
       fingerprint(col("text")).as("fingerprint"))
+
+  /** Max token multiplicity of a document, computed ROW-LOCALLY: sort the
+    * token array, then fold it tracking (previous token, current equal-run
+    * length, best run). O(n log n) per row inside whole-stage codegen —
+    * every repetition stat is a pure function of one text value, so no
+    * explode/groupBy shuffle of the corpus-sized token stream is ever
+    * needed (the naive `explode → groupBy (doc, token)` shape shuffles
+    * ~the whole corpus at 100 TB; this shuffles nothing).
+    */
+  def topTokenMultiplicity(c: Column): Column = {
+    val folded = aggregate(
+      array_sort(tokens(c)),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run =
+          when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    folded
+  }
+
+  /** Per-document repetition metrics — the boilerplate/spam signal of a
+    * quality pipeline: distinct-token ratio (1.0 = no repetition) and the
+    * share of the document taken by its single most-repeated token.
+    * Entirely map-only (see [[topTokenMultiplicity]]); returns
+    * (doc_id, n_tokens, distinct_ratio, top_token_ratio).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = greatest(size(toks), lit(1)).cast("double")
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      round(size(array_distinct(toks)).cast("double") / n, 6)
+        .as("distinct_ratio"),
+      round(topTokenMultiplicity(col("text")).cast("double") / n, 6)
+        .as("top_token_ratio"))
+  }
 }

@@ -172,4 +172,39 @@ class CurationSpec extends SparkSpec {
       Curation.mixtureWeights(df, Map.empty[String, Double])
     }
   }
+
+  test("resampleByWeight: copies bracket the weight, realized counts " +
+      "match the floor+hash-fraction rule, untargeted languages dropped") {
+    val df = docsDF(500)
+    val targets = Map("en" -> 0.7, "de" -> 0.3)
+    val weights = Curation.mixtureWeights(df, targets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val out = Curation.resampleByWeight(df, targets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val copies = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    weights.foreach { case (id, lang, w) =>
+      val got = copies.getOrElse(id, Array.empty[Long])
+      if (w == 0.0) assert(got.isEmpty, s"doc $id ($lang) should be dropped")
+      else {
+        // per-doc copy count is floor(w) or floor(w)+1 ...
+        assert(got.length >= math.floor(w).toLong &&
+          got.length <= math.floor(w).toLong + 1,
+          s"doc $id: ${got.length} copies for weight $w")
+        // ... with contiguous copy indices 1..copies
+        assert(got.sameElements(1L to got.length))
+      }
+    }
+    // realized total per language tracks weight mass (hash uniformity):
+    // sum(copies) vs sum(weights) within the language
+    targets.keySet.foreach { lang =>
+      val mass = weights.filter(_._2 == lang).map(_._3).sum
+      val realized = out.count(_._2 == lang)
+      assert(math.abs(realized - mass) <= math.max(10.0, 0.1 * mass),
+        s"$lang realized $realized vs mass $mass")
+    }
+    // determinism: a second run is identical
+    val again = Curation.resampleByWeight(df, targets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.sameElements(again.sorted))
+  }
 }

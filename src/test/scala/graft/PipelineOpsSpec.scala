@@ -235,6 +235,38 @@ class PipelineOpsSpec extends SparkSpec {
       math.rint(15.0 / 19.0 * 1e6) / 1e6)
   }
 
+  test("repetition stats: hand-computed ratios, row-local fold matches " +
+      "a driver-side multiplicity count") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "spam spam spam spam ham"), // top = spam x4, distinct 2/5
+      (1L, "all tokens here are unique"), // no repetition
+      (2L, "a b a b a")) // top = a x3
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(0L) == ((5L, 0.4, 0.8)))
+    assert(r(1L) == ((5L, 1.0, 0.2)))
+    assert(r(2L) == ((5L, 0.4, 0.6)))
+    // fuzz the fold against a driver-side count on random token streams
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 50).map { i =>
+      val toks = Seq.fill(1 + rnd.nextInt(60))(('a' + rnd.nextInt(5))
+        .toChar.toString)
+      (i.toLong, toks.mkString(" "), toks)
+    }
+    val got = TextAnalysis.repetitionStats(
+      docs.map(d => (d._1, d._2)).toDF("doc_id", "text")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    docs.foreach { case (id, _, toks) =>
+      val top = toks.groupBy(identity).values.map(_.size).max
+      val want = math.rint(top.toDouble / toks.size * 1e6) / 1e6
+      assert(got(id) == want, s"doc $id: ${got(id)} != $want")
+    }
+  }
+
   test("langid tie-breaks and marks markerless text 'und'") {
     val s = spark
     import s.implicits._
