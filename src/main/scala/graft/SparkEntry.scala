@@ -214,6 +214,16 @@ object SparkEntry {
     "t_resample" -> ((s, dir) =>
       graft.text.Curation.resampleByWeight(docs(s, dir), MIX_TARGETS)),
 
+    // fixed-size token chunking with stride (context-window prep); chunk
+    // payload carried as md5 so rows stay compact
+    "t_chunks" -> ((s, dir) =>
+      graft.text.TextAnalysis.chunk(docs(s, dir))),
+
+    // PII counts + redacted fingerprint; phones counted after email/IP
+    // redaction (no double-count), patterns shared verbatim with DuckDB
+    "t_pii" -> ((s, dir) =>
+      graft.text.TextAnalysis.piiScrub(docs(s, dir))),
+
     "d_exact_dup" -> ((s, dir) =>
       graft.dedup.Dedup.exact(docs(s, dir))),
 
@@ -773,6 +783,38 @@ object SparkEntry {
          |SELECT doc_id, lang, i AS copy
          |FROM k, unnest(generate_series(1, copies)) AS u(i)
          |WHERE copies > 0""".stripMargin
+    },
+
+    // chunking: windows of 32 tokens every 24; list_slice is 1-based
+    // inclusive and clamps at the end like Spark's slice
+    "t_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |ns AS (SELECT doc_id, w,
+        |  (ceil(greatest(len(w) - 32, 0) / 24.0) + 1)::BIGINT AS n_starts
+        |  FROM t)
+        |SELECT doc_id, i AS chunk_idx,
+        |  len(list_slice(w, i*24 + 1, i*24 + 32))::BIGINT
+        |    AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(w, i*24 + 1, i*24 + 32), ' '))
+        |    AS chunk_hash
+        |FROM ns, unnest(generate_series(0, n_starts - 1)) AS u(i)"""
+        .stripMargin,
+
+    "t_pii" -> {
+      val e = graft.text.TextAnalysis.EMAIL_RE
+      val ip = graft.text.TextAnalysis.IP_RE
+      val ph = graft.text.TextAnalysis.PHONE_RE
+      s"""WITH r AS (SELECT doc_id, text,
+         |  regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g') AS no_email_ip FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$e'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '$ip'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(no_email_ip, '$ph'))::BIGINT AS n_phones,
+         |  md5(regexp_replace(no_email_ip, '$ph', '<PHONE>', 'g'))
+         |    AS redacted_fingerprint
+         |FROM r""".stripMargin
     },
 
     "d_exact_dup" ->

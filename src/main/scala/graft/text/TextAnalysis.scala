@@ -138,6 +138,76 @@ object TextAnalysis {
     folded
   }
 
+  /** Fixed-size token chunking with stride — the context-window
+    * preparation step of a training pipeline: document tokens are cut into
+    * windows of `size` tokens starting every `stride` tokens (overlap =
+    * size - stride), the final short tail kept. Emits one row per chunk:
+    * (doc_id, chunk_idx 0.., n_chunk_tokens, chunk_hash) — the hash (md5
+    * of the space-joined window) stands in for the chunk payload so
+    * results stay compact; callers slice the original text the same way
+    * for the payload. Entirely row-local: `explode` over a
+    * `sequence(0, n_starts-1)` of window starts, each window a
+    * `slice` of the one tokens array — no shuffle, output volume =
+    * corpus * (size/stride) overlap factor.
+    *
+    * Start positions: ceil(max(n - size, 0) / stride) + 1 windows, so
+    * every token is covered and exactly one window starts at or past
+    * n - size. A document shorter than `size` yields its single short
+    * window.
+    */
+  def chunk(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"invalid chunking: size=$size stride=$stride")
+    val toks = tokens(col("text"))
+    val n = size_(toks)
+    val nStarts = (ceil(greatest(n - size, lit(0)).cast("double") /
+      stride.toDouble) + 1).cast("long")
+    docs.select(col("doc_id"), toks.as("w"),
+      explode(sequence(lit(0L), nStarts - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("w"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(size)).as("cw"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size_(col("cw")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("cw"))).as("chunk_hash"))
+  }
+
+  // org.apache.spark.sql.functions.size, kept addressable where a local
+  // `size` parameter shadows it
+  private def size_(c: Column): Column = size(c)
+
+  /** PII patterns shared verbatim with the DuckDB oracle — restricted to
+    * the regex subset with identical semantics in Java regex and RE2
+    * (character classes, bounded repeats, ASCII \d and \b; no lookaround,
+    * no backrefs).
+    */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IP_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PHONE_RE = "\\d{3}[- ]?\\d{3,4}[- ]?\\d{4}"
+
+  /** PII scrubbing — the privacy pass of a training pipeline: count and
+    * redact email / IPv4 / phone-shaped spans. Redaction order is fixed
+    * (email, then IP, then phone) and phones are counted AFTER email/IP
+    * redaction so digits inside an address never double-count as a phone.
+    * Returns (doc_id, n_emails, n_ips, n_phones, redacted_fingerprint) —
+    * the fingerprint is md5 of the fully-redacted text, so two documents
+    * differing only in their PII values collapse to the same fingerprint
+    * (redaction-aware dedup comes free). Entirely map-only codegen'd
+    * regexp work — no shuffle, no UDF.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val noEmailIp =
+      regexp_replace(regexp_replace(t, EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(EMAIL_RE)).cast("long").as("n_emails"),
+      regexp_count(t, lit(IP_RE)).cast("long").as("n_ips"),
+      regexp_count(noEmailIp, lit(PHONE_RE)).cast("long").as("n_phones"),
+      md5(regexp_replace(noEmailIp, PHONE_RE, "<PHONE>"))
+        .as("redacted_fingerprint"))
+  }
+
   /** Per-document repetition metrics — the boilerplate/spam signal of a
     * quality pipeline: distinct-token ratio (1.0 = no repetition) and the
     * share of the document taken by its single most-repeated token.

@@ -267,6 +267,72 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunking: window starts every stride tokens, short tail kept, " +
+      "sub-size doc yields one window; matches driver-side slicing") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 30).map { i =>
+      val toks = Seq.fill(1 + rnd.nextInt(100))("t" + rnd.nextInt(50))
+      (i.toLong, toks.mkString(" "), toks)
+    }
+    val size = 32
+    val stride = 24
+    val got = TextAnalysis.chunk(
+      docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), size, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    docs.foreach { case (id, _, toks) =>
+      val nStarts =
+        math.ceil(math.max(toks.size - size, 0) / stride.toDouble).toLong + 1
+      val mine = got.keys.filter(_._1 == id).map(_._2)
+      assert(mine.size == nStarts, s"doc $id: ${mine.size} != $nStarts")
+      (0L until nStarts).foreach { i =>
+        val win = toks.slice((i * stride).toInt,
+          (i * stride).toInt + size)
+        val (n, h) = got((id, i))
+        assert(n == win.size, s"doc $id chunk $i size")
+        val want = java.security.MessageDigest.getInstance("MD5")
+          .digest(win.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(h == want, s"doc $id chunk $i hash")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(Seq((0L, "x")).toDF("doc_id", "text"),
+        size = 8, stride = 9)
+    }
+  }
+
+  test("pii scrub: counts and redaction, phones not double-counted " +
+      "inside emails, PII-only-differing docs share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "mail bob.smith+x@corp.example.org and 10.0.0.1 now"),
+      (1L, "mail eve99@other.example.org and 192.168.255.3 now"),
+      (2L, "call 555-123-4567 or 555 9876 5432 today"),
+      (3L, "digits 1234567890@host.example.com are an email local part"),
+      (4L, "clean text, nothing to redact")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(df).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))).toMap
+    assert(r(0L)._1 == 1 && r(0L)._2 == 1 && r(0L)._3 == 0)
+    assert(r(1L)._1 == 1 && r(1L)._2 == 1 && r(1L)._3 == 0)
+    assert(r(2L) == ((0L, 0L, 2L, r(2L)._4)))
+    // the phone-shaped local part is consumed by the email redaction
+    assert(r(3L)._1 == 1 && r(3L)._3 == 0,
+      s"email local part double-counted as phone: ${r(3L)}")
+    assert(r(4L) == ((0L, 0L, 0L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("clean text, nothing to redact".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+    // docs 0 and 1 differ only in their PII values -> same fingerprint
+    assert(r(0L)._4 == r(1L)._4,
+      "redaction-aware fingerprints should collapse")
+  }
+
   test("langid tie-breaks and marks markerless text 'und'") {
     val s = spark
     import s.implicits._
