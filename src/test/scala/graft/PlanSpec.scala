@@ -61,6 +61,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("round-5 row-local text ops are map-only: no exchange in the plan") {
+    // repetitionStats (sorted-fold multiplicity), chunk (explode over
+    // window starts) and piiScrub (regexp count/replace chain) are all
+    // pure functions of one row — a shuffle appearing in any of them
+    // would be a scale regression (the corpus-sized token stream would
+    // start moving).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(
+      "repetitionStats" -> TextAnalysis.repetitionStats(docs),
+      "chunk" -> TextAnalysis.chunk(docs),
+      "piiScrub" -> TextAnalysis.piiScrub(docs)).foreach {
+      case (name, df) =>
+        val plan = planOf(df)
+        assert(!plan.contains("Exchange"),
+          s"$name shuffles:\n${plan.take(2000)}")
+    }
+  }
+
+  test("decontaminate broadcasts the benchmark shingle set; the per-doc " +
+      "count is the only corpus aggregate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.text.Curation.decontaminate(docs))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("graft_dot expression participates in codegen (no fallback)") {
     import graft.sim.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
