@@ -224,6 +224,11 @@ object SparkEntry {
     "t_pii" -> ((s, dir) =>
       graft.text.TextAnalysis.piiScrub(docs(s, dir))),
 
+    // sequence packing into fixed-token-budget bins by distributed prefix
+    // sum (doc_id order); the oracle states the single-window cumsum form
+    "t_pack" -> ((s, dir) =>
+      graft.text.Curation.packSequences(docs(s, dir), PACK_BUDGET)),
+
     "d_exact_dup" -> ((s, dir) =>
       graft.dedup.Dedup.exact(docs(s, dir))),
 
@@ -328,6 +333,7 @@ object SparkEntry {
   // absent so the zero-weight (drop-from-mix) path is driver-gated too
   private val MIX_TARGETS =
     Map("en" -> 0.5, "und" -> 0.3, "de" -> 0.1, "fr" -> 0.1)
+  private val PACK_BUDGET = 256L
   private val ANN_PLANES = 4
   private val ANN_TABLES = 2
   private val IVF_NLIST = 16
@@ -816,6 +822,17 @@ object SparkEntry {
          |    AS redacted_fingerprint
          |FROM r""".stripMargin
     },
+
+    // packing: the oracle states the plain single-window cumsum; the
+    // engine's distributed prefix sum is semantically identical
+    "t_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+         |    AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS cum FROM t)
+         |SELECT doc_id, n_tokens, (cum // $PACK_BUDGET)::BIGINT AS bin
+         |FROM c""".stripMargin,
 
     "d_exact_dup" ->
       """WITH fp AS (SELECT doc_id,

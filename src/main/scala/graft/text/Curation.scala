@@ -180,4 +180,49 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1L), col("copies"))).as("copy"))
   }
+
+  /** Sequence packing — assign documents to fixed-token-budget bins
+    * (training context windows) in stable `doc_id` order: a document's bin
+    * is `floor(excl_cumsum(n_tokens) / budget)` where the exclusive cumsum
+    * runs over doc_id order. Fixed-boundary packing: a document may
+    * straddle a boundary, so a bin overflows by at most its last
+    * document's own size — the deterministic, order-stable rule a
+    * restartable 100 TB packing job needs (greedy first-fit is inherently
+    * sequential: every bin break depends on the running remainder).
+    * Returns (doc_id, n_tokens, bin).
+    *
+    * Scale shape: the naive `sum() OVER (ORDER BY doc_id)` shuffles the
+    * corpus into ONE task. This is the distributed prefix sum instead
+    * (the [[graft.graph.DistributedRank]] idiom): range-partition the
+    * 2-column (doc_id, n_tokens) projection, cumsum within each partition,
+    * add broadcast per-partition offsets — driver state is one
+    * partition-count-sized offset array, parallelism = numPartitions.
+    */
+  def packSequences(docs: DataFrame, budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sized = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    // one materialization feeds both the offset collect and the result
+    // (the DistributedRank contract); blocks GC-reclaim with the frame
+    val parted = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      sized.repartitionByRange(p, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("__pid", spark_partition_id()))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+    val totals = parted.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) =>
+      acc + totals.getOrElse(i, 0L))
+    val offDf = spark.createDataFrame(
+      (0 until p).map(i => (i, offsets(i)))).toDF("__pid", "__off")
+    parted.withColumn("__lcum", sum(col("n_tokens")).over(w))
+      .join(broadcast(offDf), Seq("__pid"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(__off + __lcum - n_tokens) div $budget").as("bin"))
+  }
 }

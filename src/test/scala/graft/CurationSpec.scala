@@ -207,4 +207,36 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(out.sorted.sameElements(again.sorted))
   }
+
+  test("packSequences: bins match a driver-side cumsum, are " +
+      "partitioning-independent, and overflow only by the straddling doc") {
+    val df = docsDF(800)
+    val budget = 128L
+    // driver-side brute force: doc_id order, exclusive cumsum, floor div
+    val sizes = df.select(col("doc_id"),
+      graft.text.TextAnalysis.tokenCount(col("text")).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val expected = sizes.map { case (id, n) =>
+      val bin = cum / budget; cum += n; (id, n, bin)
+    }.toSet
+    Seq(1, 4, 32).foreach { p =>
+      val got = Curation.packSequences(df, budget, numPartitions = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == expected, s"numPartitions=$p diverges")
+    }
+    // bin totals: every bin holds <= budget + its straddling doc's size
+    val byBin = expected.groupBy(_._3)
+    byBin.foreach { case (bin, rows) =>
+      val total = rows.toSeq.map(_._2).sum
+      val maxDoc = rows.toSeq.map(_._2).max
+      assert(total <= budget + maxDoc, s"bin $bin total $total")
+    }
+    // bins are contiguous from 0 (non-empty corpus, positive sizes)
+    assert(byBin.keySet == (0L until byBin.keySet.max + 1).toSet)
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(df, budget = 0)
+    }
+  }
 }
