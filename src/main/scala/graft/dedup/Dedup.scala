@@ -51,11 +51,16 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("group_size"))
   }
 
-  /** Distinct word-k-gram shingles per doc: (doc_id, shingle). */
+  /** Distinct word-k-gram shingles per doc: (doc_id, shingle).
+    * Per-document distinctness is row-local (`array_distinct` BEFORE the
+    * explode) — a `.distinct()` on the exploded frame would shuffle the
+    * whole corpus-sized shingle stream just to dedup pairs whose key
+    * already contains doc_id, i.e. work every row could do to itself.
+    */
   def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"),
-      explode(TextAnalysis.shingles(col("text"), k)).as("shingle"))
-      .distinct()
+      explode(array_distinct(TextAnalysis.shingles(col("text"), k)))
+        .as("shingle"))
 
   /** Pairwise n-gram Jaccard: candidate pairs are docs sharing at least one
     * shingle with document frequency <= `maxShingleDf` (the skew guard — a

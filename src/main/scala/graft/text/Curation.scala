@@ -145,7 +145,11 @@ object Curation {
       "targets must be a non-empty map of non-negative shares")
     val scored = docs.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang"))
-    val counts = scored.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // materialize the tiny per-language count once: `counts` feeds both
+    // the total and the share join — left lazy, the corpus-side `scored`
+    // (scan + langId) would execute twice
+    val counts = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      scored.groupBy(col("lang")).agg(count(lit(1)).as("n")))
     val shares = counts.crossJoin(counts.agg(sum(col("n")).as("total")))
     scored.join(broadcast(shares), Seq("lang"))
       .select(col("doc_id"), col("lang"),
