@@ -229,6 +229,11 @@ object SparkEntry {
     "t_pack" -> ((s, dir) =>
       graft.text.Curation.packSequences(docs(s, dir), PACK_BUDGET)),
 
+    // one-row corpus report card (volume, language spread, dup rate,
+    // mean quality) — fully partial-aggregatable single pass
+    "t_corpus" -> ((s, dir) =>
+      graft.text.TextAnalysis.corpusSummary(docs(s, dir))),
+
     "d_exact_dup" -> ((s, dir) =>
       graft.dedup.Dedup.exact(docs(s, dir))),
 
@@ -833,6 +838,43 @@ object SparkEntry {
          |  sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS cum FROM t)
          |SELECT doc_id, n_tokens, (cum // $PACK_BUDGET)::BIGINT AS bin
          |FROM c""".stripMargin,
+
+    "t_corpus" -> {
+      def mk(markers: Seq[String]): String =
+        "len(list_filter(w, x -> x IN (" +
+          markers.map(m => s"'$m'").mkString(",") + ")))"
+      val en = mk(Seq("the", "a", "of", "and", "is"))
+      val es = mk(Seq("el", "la", "los", "de", "y"))
+      val de = mk(Seq("der", "die", "das", "und", "ist"))
+      val fr = mk(Seq("le", "la", "les", "et", "est"))
+      s"""WITH t AS (SELECT doc_id, text,
+         |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |s AS (SELECT doc_id, len(w)::BIGINT AS n,
+         |  CASE WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1) < 10
+         |    THEN 'und'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 4 THEN 'en'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 3 THEN 'es'
+         |    WHEN greatest($en*10+4, $es*10+3, $de*10+2, $fr*10+1)
+         |      % 10 = 2 THEN 'de'
+         |    ELSE 'fr' END AS lang,
+         |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+         |  round(0.4 * least(len(w)/64.0, 1.0)
+         |    + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))*1.0
+         |        / greatest(length(text), 1))
+         |    + 0.2 * (1.0 -
+         |        length(regexp_replace(text, '[^.,;:!?]', '', 'g'))*1.0
+         |        / greatest(length(text), 1))
+         |    + 0.1 * least(($en*1.0 / greatest(len(w), 1)) * 5.0, 1.0), 6)
+         |    AS q FROM t)
+         |SELECT count(*)::BIGINT AS n_docs,
+         |  sum(n)::BIGINT AS n_tokens,
+         |  count(DISTINCT lang)::BIGINT AS n_langs,
+         |  round(1.0 - count(DISTINCT fp)*1.0 / count(*), 6) AS dup_rate,
+         |  round(avg(q), 6) AS mean_quality
+         |FROM s""".stripMargin
+    },
 
     "d_exact_dup" ->
       """WITH fp AS (SELECT doc_id,

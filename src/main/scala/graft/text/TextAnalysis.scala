@@ -176,6 +176,29 @@ object TextAnalysis {
   // `size` parameter shadows it
   private def size_(c: Column): Column = size(c)
 
+  /** Corpus-level summary — the one-row dataset report card a pipeline
+    * publishes after each build: document/token volume, language spread,
+    * exact-duplicate rate (1 - distinct fingerprints / docs), and mean
+    * quality. One pass, fully partial-aggregatable (every measure is a
+    * sum/count over row-local expressions; the two distinct counts are
+    * Spark's two-stage partial distinct) — the output is a single row
+    * regardless of corpus size.
+    */
+  def corpusSummary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n"),
+      langId(col("text")).as("lang"),
+      fingerprint(col("text")).as("fp"),
+      qualityScore(col("text")).as("q"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(lit(1.0) - countDistinct(col("fp")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("dup_rate"),
+        round(avg(col("q")), 6).as("mean_quality"))
+
   /** PII patterns shared verbatim with the DuckDB oracle — restricted to
     * the regex subset with identical semantics in Java regex and RE2
     * (character classes, bounded repeats, ASCII \d and \b; no lookaround,

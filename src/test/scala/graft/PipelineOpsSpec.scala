@@ -333,6 +333,29 @@ class PipelineOpsSpec extends SparkSpec {
       "redaction-aware fingerprints should collapse")
   }
 
+  test("corpus summary: one-row report card with hand-checked measures") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "the cat and the hat"), // en, 5 tokens
+      (1L, "THE  cat and the   hat"), // fingerprint-identical to doc 0
+      (2L, "el gato y la casa"), // es, 5 tokens
+      (3L, "zzz qqq")) // und, 2 tokens
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.corpusSummary(df).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_docs") == 4L)
+    assert(row.getAs[Long]("n_tokens") == 17L)
+    assert(row.getAs[Long]("n_langs") == 3L) // en, es, und
+    assert(row.getAs[Double]("dup_rate") == 0.25) // 1 - 3 distinct fp / 4
+    // mean quality matches the per-doc scores averaged driver-side
+    val qs = df.select(TextAnalysis.qualityScore(col("text"))).collect()
+      .map(_.getDouble(0))
+    val want = math.rint(qs.sum / qs.length * 1e6) / 1e6
+    assert(row.getAs[Double]("mean_quality") == want)
+  }
+
   test("langid tie-breaks and marks markerless text 'und'") {
     val s = spark
     import s.implicits._
