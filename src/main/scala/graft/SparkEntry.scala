@@ -234,6 +234,11 @@ object SparkEntry {
     "t_corpus" -> ((s, dir) =>
       graft.text.TextAnalysis.corpusSummary(docs(s, dir))),
 
+    // global top-k vocabulary by occurrence count (tokenizer-building
+    // primitive); distributed TakeOrdered cut, deterministic tie-break
+    "t_vocab" -> ((s, dir) =>
+      graft.text.TextAnalysis.vocabulary(docs(s, dir), VOCAB_K)),
+
     "d_exact_dup" -> ((s, dir) =>
       graft.dedup.Dedup.exact(docs(s, dir))),
 
@@ -339,6 +344,7 @@ object SparkEntry {
   private val MIX_TARGETS =
     Map("en" -> 0.5, "und" -> 0.3, "de" -> 0.1, "fr" -> 0.1)
   private val PACK_BUDGET = 256L
+  private val VOCAB_K = 50
   private val ANN_PLANES = 4
   private val ANN_TABLES = 2
   private val IVF_NLIST = 16
@@ -875,6 +881,18 @@ object SparkEntry {
          |  round(avg(q), 6) AS mean_quality
          |FROM s""".stripMargin
     },
+
+    "t_vocab" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+         |  FROM documents),
+         |c AS (SELECT token, count(*)::BIGINT AS n_occurrences,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs FROM u GROUP BY 1),
+         |r AS (SELECT token, n_occurrences, n_docs,
+         |  row_number() OVER (ORDER BY n_occurrences DESC, token)::BIGINT
+         |    AS rank FROM c)
+         |SELECT token, n_occurrences, n_docs, rank FROM r
+         |WHERE rank <= $VOCAB_K""".stripMargin,
 
     "d_exact_dup" ->
       """WITH fp AS (SELECT doc_id,

@@ -176,6 +176,33 @@ object TextAnalysis {
   // `size` parameter shadows it
   private def size_(c: Column): Column = size(c)
 
+  /** Corpus vocabulary statistics — the tokenizer-building primitive:
+    * global top-k tokens by occurrence count with document frequency,
+    * under the (count desc, token asc) total order so the cut is
+    * deterministic. One shuffle keyed by token with map-side partial
+    * aggregation (the hub-token skew absorber — 'the' is pre-summed per
+    * partition before it moves); the top-k cut is Spark's distributed
+    * TakeOrdered (per-partition heads, driver merge of k-sized heaps),
+    * never a single-task global sort. Returns
+    * (token, n_occurrences, n_docs, rank 1..k).
+    */
+  def vocabulary(docs: DataFrame, k: Int = 100): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val perDoc = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("token"))
+    val counts = perDoc.groupBy(col("token")).agg(
+      count(lit(1)).as("n_occurrences"),
+      countDistinct(col("doc_id")).as("n_docs"))
+    val top = counts
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+    // rank over the k-sized result only — the window runs on <= k rows
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occurrences").desc, col("token").asc))
+        .cast("long"))
+  }
+
   /** Corpus-level summary — the one-row dataset report card a pipeline
     * publishes after each build: document/token volume, language spread,
     * exact-duplicate rate (1 - distinct fingerprints / docs), and mean

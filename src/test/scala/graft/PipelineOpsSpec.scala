@@ -333,6 +333,33 @@ class PipelineOpsSpec extends SparkSpec {
       "redaction-aware fingerprints should collapse")
   }
 
+  test("vocabulary: top-k by count with deterministic tie-break, doc " +
+      "frequency exact, matches a driver-side count") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(20))(
+        words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val k = 4
+    val got = TextAnalysis.vocabulary(docs.toDF("doc_id", "text"), k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver-side brute force
+    val occ = docs.flatMap(d => d._2.split(" ").map(t => (t, d._1)))
+    val expected = occ.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.size.toLong, xs.map(_._2).distinct.size.toLong)
+    }.toSeq.sortBy { case (t, n, _) => (-n, t) }.take(k)
+      .zipWithIndex.map { case ((t, n, d), i) => (t, n, d, (i + 1).toLong) }
+    assert(got.toSeq == expected)
+    assert(got.map(_._4).toSeq == (1L to k))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabulary(docs.toDF("doc_id", "text"), 0)
+    }
+  }
+
   test("corpus summary: one-row report card with hand-checked measures") {
     val s = spark
     import s.implicits._
