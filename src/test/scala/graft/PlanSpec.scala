@@ -88,6 +88,27 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("vocabulary cuts top-k with distributed TakeOrdered and partial " +
+      "aggregation, never a global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(TextAnalysis.vocabulary(docs, 50))
+    // the k-cut must be TakeOrderedAndProject (per-partition heads +
+    // driver merge), not Sort + GlobalLimit over a full global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // hub tokens ('the') must pre-aggregate map-side before the shuffle
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("packSequences carries no corpus-wide single-task window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.text.Curation.packSequences(docs, 256L))
+    // the per-partition cumsum window partitions by __pid — an empty
+    // partitionBy (the naive global cumsum) would plan a single-task
+    // Window over an Exchange SinglePartition
+    assert(!plan.contains("SinglePartition"),
+      s"single-task window in packSequences:\n${plan.take(3000)}")
+  }
+
   test("graft_dot expression participates in codegen (no fallback)") {
     import graft.sim.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
