@@ -155,7 +155,10 @@ object Scc {
       .where($"src" =!= $"dst").distinct()
       .repartition(graph.numPartitions, $"src")
       .transform(StatsReset.checkpointNoStats)
-    var active = spark.range(n).toDF("id")
+    // graph-partition-count slices (round-6): the active set seeds every
+    // trim/propagation state; a 32-slice default re-inflates each of the
+    // many per-round jobs to 32 tasks after adaptiveParts sized the graph
+    var active = spark.range(0, n, 1, graph.numPartitions).toDF("id")
     var remaining = n
 
     // Restrict the edge set to the surviving vertex set; one eager

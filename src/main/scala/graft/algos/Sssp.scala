@@ -38,13 +38,18 @@ object Sssp {
     val spark = graph.edges.sparkSession
     import spark.implicits._
 
-    val n = graph.nodeCount
-    require(config.startNode >= 0 && config.startNode < n,
-      s"start node ${config.startNode} out of range [0,$n)")
     // min-plus never needs parallel edges: relax the min-weight compressed
     // view (one build-time groupBy; identical fixed point, round-2 verdict
     // #3 — duplicate (src,dst) rows relaxed redundantly every round).
     val edges = graph.minWeightBySrc
+    // node count off the persisted relaxation cache: the min-weight
+    // compression keeps every (src, dst) pair (it only collapses parallel
+    // edges), so max-id is identical — and the uncached upstream edge
+    // derivation is not evaluated a SECOND time just for the count
+    // (round-6; the LP/WCC nodeCountFrom pattern)
+    val n = graph.nodeCountFrom(edges)
+    require(config.startNode >= 0 && config.startNode < n,
+      s"start node ${config.startNode} out of range [0,$n)")
 
     val doBroadcast = n <= broadcastVertices
     // broadcast when the vertex state fits; otherwise hint shuffle-hash so
@@ -89,28 +94,44 @@ object Sssp {
       } else 0L
     var done = false
 
-    // One relax round as a lazy transform over `cur` (unique aliases so
-    // rounds can nest when chained): cand(w) = min over in-band frontier
-    // edges (v,w) of dist(v)+weight; pending' = newly improved, plus
-    // pending vertices beyond the band that were not relaxed this round.
+    // One relax round as a lazy transform over `cur`: cand(w) = min over
+    // in-band frontier edges (v,w) of dist(v)+weight; pending' = newly
+    // improved, plus pending vertices beyond the band that were not relaxed
+    // this round.
+    //
+    // The state/candidate merge is a UNION + groupBy(id) min-fold, NOT a
+    // full-outer join (round-6 optimization, guide §3.1/§2.4): Spark cannot
+    // broadcast-hash a full outer join (the hint is logged and DROPPED —
+    // "build right for full outer join" — by HintErrorLogger), so the old
+    // form paid a SortMergeJoin per round: both sides exchanged AND sorted,
+    // in every mode. The union form shuffles the same vertex-sized rows
+    // once (partial aggregation, no sorts) and reaches the identical fixed
+    // point: each id occurs at most once per side, so min(dist) is the
+    // state's dist, min(cand) the candidate's relaxation, max(pending) the
+    // state's flag (cand rows contribute false), exactly the fields the
+    // full-outer select read.
     def relaxRound(cur: DataFrame, threshold: Double, i: Int): DataFrame = {
+      val _ = i // kept for call-site stability; aliases no longer needed
       val frontier = cur.filter($"pending" && $"dist" < threshold)
         .select($"id", $"dist")
       val cand = edges
         .join(maybeBroadcast(frontier), edges("src") === frontier("id"))
         .groupBy(edges("dst").as("id"))
         .agg(min($"dist" + $"weight").as("cand"))
-      val d = s"d$i"; val c = s"c$i"
-      cur.as(d).join(maybeBroadcast(cand).as(c), Seq("id"), "full")
+      cur.select($"id", $"dist", $"pending",
+          lit(null).cast("double").as("cand"))
+        .unionByName(cand.select($"id",
+          lit(null).cast("double").as("dist"), lit(false).as("pending"),
+          $"cand"))
+        .groupBy($"id")
+        .agg(min($"dist").as("d0"), max($"pending").as("p0"),
+          min($"cand").as("c0"))
         .select($"id",
-          least(coalesce(col(s"$d.dist"), lit(Double.PositiveInfinity)),
-            coalesce(col(s"$c.cand"), lit(Double.PositiveInfinity)))
-            .as("dist"),
-          ((col(s"$c.cand").isNotNull &&
-            (col(s"$d.dist").isNull ||
-              col(s"$c.cand") < col(s"$d.dist"))) ||
-            (coalesce(col(s"$d.pending"), lit(false)) &&
-              col(s"$d.dist") >= threshold)).as("pending"))
+          least(coalesce($"d0", lit(Double.PositiveInfinity)),
+            coalesce($"c0", lit(Double.PositiveInfinity))).as("dist"),
+          (($"c0".isNotNull && ($"d0".isNull || $"c0" < $"d0")) ||
+            (coalesce($"p0", lit(false)) && $"d0" >= threshold))
+            .as("pending"))
     }
 
     // Round batching (round-4 verdict #4 — SSSP was the one iterative

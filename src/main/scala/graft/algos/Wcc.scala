@@ -156,7 +156,10 @@ object Wcc {
             .union(canon.select($"dst".as("id")))
             .distinct()
             .select($"id", $"id".as("comp"))
-        else spark.range(n).select($"id", $"id".as("comp"))
+        // graph-partition-count slices, not the 32-slice session default:
+        // every round job runs one task per state partition (round-6)
+        else spark.range(0, n, 1, graph.numPartitions)
+          .select($"id", $"id".as("comp"))
       }
       .transform(StatsReset.checkpointNoStats)
 

@@ -42,7 +42,7 @@ object Dedup {
     // long-running caller (the serving daemon) cannot accumulate pinned
     // caches from library internals.
     val fp = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
-      docs.select(col("doc_id"),
+      graft.util.Parallelism.widen(docs).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")))
     val groups = fp.groupBy(col("fp")).agg(
       min(col("doc_id")).as("canonical_id"),
@@ -58,7 +58,7 @@ object Dedup {
     * already contains doc_id, i.e. work every row could do to itself.
     */
   def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
+    graft.util.Parallelism.widen(docs).select(col("doc_id"),
       explode(array_distinct(TextAnalysis.shingles(col("text"), k)))
         .as("shingle"))
 
@@ -223,17 +223,17 @@ object Dedup {
     * bands * rowsPerBand must equal numHashes. Output
     * (doc_a, doc_b, est_jaccard, jaccard) for verified pairs >= threshold.
     */
-  def minHashLsh(
-      docs: DataFrame, threshold: Double,
-      numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
+  /** Shared LSH front end: ONE tokenize+explode+distinct pass over the
+    * corpus (`sh`), ONE signature aggregation (`sig`), banding, and the
+    * bucket self-join that defines the candidate pairs. Catalyst does not
+    * reuse these subtrees across their 4+ plan references (measured: 24
+    * scans / 18 explodes per run without the checkpoints — at 100 TB that
+    * is 18 redundant full-corpus map passes).
+    */
+  private def lshCandidates(docs: DataFrame, numHashes: Int, bands: Int,
+      k: Int): (DataFrame, DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // ONE tokenize+explode+distinct pass over the corpus, shared by the
-    // signature aggregation AND the exact-Jaccard verification tail; and
-    // ONE signature aggregation, referenced by banding + both est sides.
-    // Catalyst does not reuse these subtrees across their 4+ plan
-    // references (measured: 24 scans / 18 explodes per run without the
-    // checkpoints — at 100 TB that is 18 redundant full-corpus map passes).
     val sh = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
       docShingles(docs, k))
     val sig = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
@@ -250,6 +250,13 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    (candidates, sh, sig)
+  }
+
+  def minHashLsh(
+      docs: DataFrame, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
+    val (candidates, sh, sig) = lshCandidates(docs, numHashes, bands, k)
     // estimated similarity = fraction of matching minhashes
     val estCols = (0 until numHashes)
       .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1)
@@ -269,6 +276,22 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Verified near-dup PAIRS only — [[minHashLsh]] minus the est_jaccard
+    * column: the estimate is a diagnostic on the output surface, it never
+    * gates a pair (verification is exact and the est join is inner over
+    * the same candidate set), so a consumer that drops it — dupGroups —
+    * was paying two signature joins per run for a discarded column
+    * (round-6, guide §1.2 "don't compute things you throw away").
+    */
+  def minHashPairs(
+      docs: DataFrame, threshold: Double,
+      numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
+    val (candidates, sh, _) = lshCandidates(docs, numHashes, bands, k)
+    verifyJaccard(candidates, sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Near-duplicate CLUSTERS: weakly connected components over the
     * MinHash-LSH verified pair graph. Near-dup similarity is not
     * transitive, so keep-one-per-cluster dedup needs the closure of the
@@ -281,9 +304,11 @@ object Dedup {
   def dupGroups(docs: DataFrame, threshold: Double,
       numHashes: Int = 16, bands: Int = 4, k: Int = 3): DataFrame = {
     // materialize the (tiny) pair set once — WCC's undirected build would
-    // otherwise evaluate the whole LSH pipeline per plan reference
+    // otherwise evaluate the whole LSH pipeline per plan reference.
+    // minHashPairs, not minHashLsh: the est_jaccard columns were computed
+    // through two signature joins and immediately dropped here (round-6).
     val pairs = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
-      minHashLsh(docs, threshold, numHashes, bands, k)
+      minHashPairs(docs, threshold, numHashes, bands, k)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"),
           lit(1.0).as("weight")))
     // sparseVertices: the closure fixed point iterates ONLY docs incident
@@ -291,8 +316,17 @@ object Dedup {
     // corpus of singletons never enters a superstep and is unioned back as
     // group_id = doc_id below via the left-join coalesce (round-2 verdict
     // #2: the dense form iterated billions of untouched rows at 10^9 docs).
+    // The pair graph's partition count derives from the MEASURED pair count
+    // (the checkpointed frame has no plan stats, so the byte-estimate
+    // clamp cannot see how tiny it is): a near-dup pair set orders of
+    // magnitude smaller than the corpus should not run 32-task closure
+    // rounds (round-6; the count is one cheap job over cached partitions).
+    val pairParts = graft.graph.LinkGraph.adaptivePartsForRows(
+      pairs.count(), docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt)
     val comp = graft.algos.Wcc
-      .run(graft.graph.LinkGraph(pairs), sparseVertices = true).components
+      .run(graft.graph.LinkGraph(pairs, numPartitions = pairParts),
+        sparseVertices = true).components
     val compDocs = docs.select(col("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -338,7 +372,7 @@ object Dedup {
     * md5 slice — see graft.functions.PortableHash). Output (doc_id, simhash).
     */
   def simHash(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"),
+    val words = graft.util.Parallelism.widen(docs).select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("w"))
       .select(col("doc_id"), PortableHash.phash(col("w")).as("h"))
     val agg = udaf(new SimHashAgg)

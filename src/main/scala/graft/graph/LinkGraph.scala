@@ -110,9 +110,14 @@ class LinkGraph private (
 
   /** Dense vertex universe 0..nodeCount-1 (reference includes ids never seen
     * in the edge list up to the max — e.g. node 3 of the README PageRank
-    * fixture, crates/algos/src/lib.rs:96-140).
+    * fixture, crates/algos/src/lib.rs:96-140). Sliced at the GRAPH's
+    * partition count, not the session default: vertex state derived from
+    * this frame (degrees, algorithm supersteps) inherits its partitioning,
+    * and a fixed 32-slice range re-inflates every per-round job back to 32
+    * tasks after `adaptiveParts` sized the graph smaller (round-6).
     */
-  def vertices: DataFrame = spark.range(nodeCount).toDF("id")
+  def vertices: DataFrame =
+    spark.range(0, nodeCount, 1, numPartitions).toDF("id")
 
   /** Out-view: edges hash-partitioned by src AND sorted within partitions
     * by (src, dst), persisted for iteration reuse — the distributed CSR
@@ -460,6 +465,49 @@ object LinkGraph {
       .drop("nsalt", "k")
   }
 
+  /** Scale-ADAPTIVE graph partition count (optimization guide §2.2/§6 —
+    * "make partitioning scale-adaptive, derive from input size, rather than
+    * a constant tuned for either local mode or the cluster"): the
+    * configured `spark.sql.shuffle.partitions` is the CAP, and the
+    * optimizer's size estimate of the edge input decides how many of those
+    * partitions the data actually justifies (~[[AdaptiveTargetBytes]] per
+    * partition, floored at [[AdaptiveMinParts]]). Every per-superstep job
+    * of an iterative algorithm runs one task per graph partition — on a
+    * small graph a fixed 32/64/200-partition layout makes every round a
+    * task-scheduling exercise (measured: 32-task 300-700 ms round jobs at
+    * sf0.1 whose tasks each carry < 1 ms of real work), while at scale the
+    * estimate exceeds cap * target and the configured value wins. Callers
+    * with an explicit `numPartitions` (the scaling protocol's fixed 64)
+    * bypass this entirely.
+    *
+    * The estimate reads `optimizedPlan.stats.sizeInBytes` — driver-side
+    * plan metadata, no job. Derivations that erase stats (checkpointed
+    * RDDs report defaultSizeInBytes = Long.MaxValue) fall back to the
+    * configured cap, i.e. exactly the old behavior — the clamp only ever
+    * engages when the input is PROVABLY small.
+    */
+  val AdaptiveTargetBytes: Long = 32L << 20
+  val AdaptiveMinParts: Int = 8
+
+  def adaptiveParts(edges: DataFrame, cap: Int): Int = {
+    val bytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(cap.toLong * AdaptiveTargetBytes)) cap
+    else math.min(cap, math.max(AdaptiveMinParts,
+      ((bytes + AdaptiveTargetBytes - 1) / AdaptiveTargetBytes).toInt))
+  }
+
+  /** Row-count form of [[adaptiveParts]] for callers that hold a
+    * MATERIALIZED edge set (checkpointed frames erase plan stats, so the
+    * size estimate falls back to Long.MaxValue and the byte form returns
+    * the cap): ~24 bytes/edge row, same target/floor/cap clamp.
+    */
+  def adaptivePartsForRows(rows: Long, cap: Int): Int = {
+    val bytes = rows * 24L
+    if (bytes >= cap.toLong * AdaptiveTargetBytes) cap
+    else math.min(cap, math.max(AdaptiveMinParts,
+      ((bytes + AdaptiveTargetBytes - 1) / AdaptiveTargetBytes).toInt))
+  }
+
   /** Builder mirroring GraphBuilder::new().csr_layout(L).edges(E).build()
     * (crates/builder/src/builder.rs:123-381).
     */
@@ -472,7 +520,8 @@ object LinkGraph {
     val spark = edges.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      else adaptiveParts(edges,
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val norm = layout match {
       case Layout.AsIs => edges
       case Layout.Sorted => edges // ordering materialized lazily in bySrc
