@@ -50,27 +50,51 @@ object LabelPropagation {
     val spark = graph.edges.sparkSession
     import spark.implicits._
 
-    // nodeCount off the persisted multigraph cache (it keeps self-loops,
-    // so max-id is identical): materializes the cache once and spares a
-    // second full evaluation of an uncached upstream derivation
-    val n = graph.nodeCountFrom(graph.multiplicities)
-    require(n > 0, "LP on empty graph")
-    val doBroadcast = n <= broadcastVertices
     // Undirected multiset view as a compressed multigraph: duplicates count
     // toward the mode via the multiplicity column (identical votes, 8x
-    // smaller scan on duplicate-heavy graphs); self-loops excluded (a
-    // vertex does not vote for itself). Broadcast mode reads row-balanced
-    // partitions (hub skew can't cap a stage); shuffle mode reads hash(src)
-    // partitions so the per-round state join needs no exchange on the big
-    // side (the PageRank cache split).
-    val m = graph.multiplicities.filter($"src" =!= $"dst")
-    val undBase = m.select($"src", $"dst", $"cnt")
-      .union(m.select($"dst".as("src"), $"src".as("dst"), $"cnt"))
-      .groupBy($"src", $"dst").agg(sum($"cnt").as("cnt"))
-    val und = (if (doBroadcast) undBase.repartition(graph.numPartitions)
-               else undBase.repartition(graph.numPartitions, $"src"))
+    // smaller scan on duplicate-heavy graphs). Built in ONE pass over the
+    // raw edges (round-6): a row-local explode fans each edge into both
+    // directions ahead of the count aggregation, replacing the old
+    // two-cache build (materialize `multiplicities`, then union + re-
+    // aggregate + re-partition it) — one edge-input scan and one exchange
+    // instead of two of each. Self-loops are KEPT in the cache rows (as
+    // (v, v) with doubled cnt) so max-id survives and the node count rides
+    // this cache instead of a second evaluation of the uncached upstream
+    // derivation; the per-round vote join filters them out (a vertex does
+    // not vote for itself), exactly as before.
+    // Broadcast mode reads row-balanced partitions (hub skew can't cap a
+    // stage); shuffle mode reads hash(src) partitions so the per-round
+    // state join needs no exchange on the big side (the PageRank cache
+    // split).
+    val undBase = graph.edges.select(explode(array(
+        struct($"src", $"dst"),
+        struct($"dst".as("src"), $"src".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
+      .groupBy($"src", $"dst").agg(count(lit(1)).cast("double").as("cnt"))
+    // The cache materializes ONCE, mode-independent (round-robin balanced —
+    // the broadcast-mode layout), and the node count reads off it; shuffle
+    // mode then repartitions the IN-MEMORY compressed table by src (one
+    // exchange of the small compressed rows, no re-aggregation and no
+    // second scan of the raw edges). Replaces the old shape that needed n
+    // before it could build anything and so paid a full extra evaluation
+    // of the upstream derivation just for the count.
+    val undAll = undBase.repartition(graph.numPartitions)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
+    val n = graph.nodeCountFrom(undAll)
+    require(n > 0, "LP on empty graph")
+    val doBroadcast = n <= broadcastVertices
+    val undCache =
+      if (doBroadcast) undAll
+      else {
+        val bySrc = undAll.repartition(graph.numPartitions, $"src")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        bySrc.count()
+        undAll.unpersist()
+        bySrc
+      }
+    // self-loop rows stay in the CACHE (they carry the max id); the vote
+    // scan filters them per round, same votes as the old pre-filtered build
+    val und = undCache.filter($"src" =!= $"dst")
     // Hub salting for the shuffle-mode gather (round-4 verdict #6): LP
     // scans ITS OWN undirected multigraph — a symmetric view where a Zipf
     // hub's row count is its full (in+out) neighborhood — through the same
@@ -93,7 +117,7 @@ object LabelPropagation {
       // it (forcing `hubs` too) and release the unsalted multigraph, or
       // the job's largest table stays double-pinned for the whole run
       undG.count()
-      und.unpersist(); ()
+      undCache.unpersist(); ()
     }
     if (sys.env.contains("GRAFT_LP_DEBUG"))
       System.err.println(s"[lp] broadcast=$doBroadcast salt=$salt")
@@ -189,7 +213,7 @@ object LabelPropagation {
     }
 
     if (salt > 1) { undG.unpersist(); hubs.unpersist(); () }
-    else und.unpersist()
+    else undCache.unpersist()
     Result(labels,
       ConvergenceStats(iteration,
         if (config.earlyStop) changed.toDouble else Double.NaN,

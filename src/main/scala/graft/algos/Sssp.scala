@@ -167,13 +167,20 @@ object Sssp {
             math.min(r, checkpointEvery - (iteration % checkpointEvery))
           else r
         }
+        // broadcast-mode materialization cadence inside a batch: 1 = every
+        // round (the measured-safe default — nested broadcast builds
+        // re-execute their lazy subtree ~2^k per action); prop/env knob for
+        // within-session A/B of small k (graft.bench.SsspBatchAb)
+        val bcastLazy = sys.props.get("graft.sssp.bcastlazy")
+          .orElse(sys.env.get("GRAFT_SSSP_BCAST_LAZY"))
+          .map(_.toInt).getOrElse(1)
         var cur = state
         for (i <- 0 until rounds) {
           cur = relaxRound(cur, Double.PositiveInfinity, i)
           // eager localCheckpoint truncates plan lineage (SURVEY.md
-          // §7.4-5): per round in broadcast mode, once per batch in
-          // shuffle mode
-          if (doBroadcast || i == rounds - 1)
+          // §7.4-5): per `bcastLazy` rounds in broadcast mode, once per
+          // batch in shuffle mode
+          if ((doBroadcast && (i + 1) % bcastLazy == 0) || i == rounds - 1)
             cur = cur.transform(StatsReset.checkpointNoStats)
         }
         state = cur

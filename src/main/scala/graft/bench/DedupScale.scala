@@ -49,6 +49,43 @@ object DedupScale {
               .otherwise(text).as("text"))
         docs.repartition(cpus).write.mode("overwrite").parquet(path)
         println(s"""{"generated":${spark.read.parquet(path).count()}}""")
+      case "gendup" =>
+        // Mega-bucket stress corpus (round-5 verdict #3's scenario): 10% of
+        // docs are EXACT copies of a small set of boilerplate texts —
+        // `classes` identical-signature classes of ~n/(10*classes) docs
+        // each — the shape where the document-level banded self-join went
+        // quadratic per (band, bucket). The other 90% are the normal
+        // near-dup corpus.
+        val n = args(2).toLong
+        val nClasses = if (args.length > 3) args(3).toInt else 10
+        val isBoiler = pmod(col("id"), lit(10)) === 5
+        // class index from the boilerplate ORDINAL (id mod nClasses would
+        // degenerate: ids = 5 mod 10 share residues mod many nClasses)
+        val base = when(isBoiler,
+          pmod(((col("id") - 5) / 10).cast("long"), lit(nClasses)))
+          .otherwise(col("id") + lit(1000000000L))
+        val words = (lit(90) + pmod(hash(col("base"), lit("len")), lit(40)))
+        val text = aggregate(
+          sequence(lit(1), words),
+          lit(""),
+          (acc, j) => concat(acc,
+            when(j === 1, lit("")).otherwise(lit(" ")),
+            concat(lit("w"),
+              pmod(hash(col("base"), j, lit("tok")), lit(4000)))))
+        val docs = spark.range(n).select(col("id"), base.as("base"))
+          .select(col("id").as("doc_id"), text.as("text"))
+        docs.repartition(cpus).write.mode("overwrite").parquet(path)
+        println(s"""{"generated":${spark.read.parquet(path).count()}}""")
+      case "cands" =>
+        // candidate-generation stage only (the self-join the guard fixes),
+        // isolated from the output-proportional verification tail
+        val docs = spark.read.parquet(path)
+        val t0 = System.nanoTime()
+        val (cand, _, _) = graft.dedup.Dedup.lshCandidates(docs, 16, 4, 3)
+        val nc = cand.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"cands","docs":${docs.count()},""" +
+          f""""cands":$nc,"sec":$sec%.2f}""")
       case "minhash" =>
         val docs = spark.read.parquet(path)
         val t0 = System.nanoTime()

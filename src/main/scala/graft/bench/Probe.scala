@@ -231,7 +231,6 @@ object SsspBatchAb {
   def main(args: Array[String]): Unit = {
     val path = args(0); val cores = args(1).toInt
     val runs = args(2).toInt
-    val batches = args.drop(3).map(_.toInt).toSeq
     val spark = Scaling.session(cores)
     try {
       val edges =
@@ -240,23 +239,32 @@ object SsspBatchAb {
           graft.sources.EventEdges.edges(spark, path)
         else spark.read.parquet(path)
       val g = graft.graph.LinkGraph(edges)
-      def once(batch: Int): Double = {
+      // spec = batch[:bcastLazy] — bcastLazy rides the system property so
+      // one session can A/B broadcast-mode materialization cadence too
+      def parse(s: String): (Int, Int) = s.split(":") match {
+        case Array(a) => (a.toInt, 1)
+        case Array(a, l) => (a.toInt, l.toInt)
+      }
+      def once(spec: String): Double = {
+        val (batch, lzy) = parse(spec)
+        sys.props("graft.sssp.bcastlazy") = lzy.toString
         val t0 = System.nanoTime()
         graft.algos.Sssp.run(g,
           graft.SsspConfig(0L, roundBatch = batch)).distances.count()
         (System.nanoTime() - t0) / 1e9
       }
-      batches.foreach { b => once(b); () } // warmup: caches + JIT per shape
-      val acc = scala.collection.mutable.Map[Int, List[Double]]()
+      val specs = args.drop(3).toSeq
+      specs.foreach { b => once(b); () } // warmup: caches + JIT per shape
+      val acc = scala.collection.mutable.Map[String, List[Double]]()
         .withDefaultValue(Nil)
-      for (r <- 1 to runs; b <- batches) {
+      for (r <- 1 to runs; b <- specs) {
         val s = once(b)
         acc(b) = s :: acc(b)
-        println(f"SSSPAB run=$r batch=$b wall=$s%.2f")
+        println(f"SSSPAB run=$r spec=$b wall=$s%.2f")
       }
-      batches.foreach { b =>
+      specs.foreach { b =>
         val ms = acc(b)
-        println(f"SSSPAB-SUMMARY batch=$b min=${ms.min}%.2f " +
+        println(f"SSSPAB-SUMMARY spec=$b min=${ms.min}%.2f " +
           f"mean=${ms.sum / ms.size}%.2f")
       }
     } finally spark.stop()

@@ -229,28 +229,75 @@ object Dedup {
     * reuse these subtrees across their 4+ plan references (measured: 24
     * scans / 18 explodes per run without the checkpoints — at 100 TB that
     * is 18 redundant full-corpus map passes).
+    *
+    * MEGA-BUCKET GUARD (round-5 verdict #3, round-6): the bucket self-join
+    * runs over SIGNATURE CLASSES, not documents. Documents with identical
+    * full signatures — the exact-dup / boilerplate block of any web-scale
+    * corpus — land in the same bucket of EVERY band, so a B-document class
+    * used to push B·(B−1)/2 rows through the join PER BAND and then a
+    * corpus-wide distinct; the class-level join sees ONE row per class and
+    * bucket. Candidate pairs then EXPAND back to document pairs
+    * (cross-class member products + all within-class pairs), which is
+    * output-proportional work the per-pair contract requires anyway.
+    * Exactness: a document's banded buckets are a pure function of its
+    * signature, so doc pairs sharing a bucket == class pairs sharing a
+    * bucket (cross) plus same-class pairs (identical signatures share all
+    * four buckets) — the class key is the exact 16-column signature tuple
+    * (no hashing, no collision caveat), and verification/est still run per
+    * document downstream, so emitted rows are byte-identical to the
+    * document-level form (the frozen oracle states that form).
     */
-  private def lshCandidates(docs: DataFrame, numHashes: Int, bands: Int,
-      k: Int): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def lshCandidates(docs: DataFrame, numHashes: Int,
+      bands: Int, k: Int): (DataFrame, DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
       docShingles(docs, k))
+    val mhNames = (0 until numHashes).map(i => s"mh_$i")
+    // ONE signature materialization carrying the class representative:
+    // rep = min doc_id over the signature class via a window directly on
+    // the signature aggregation (one exchange; a groupBy + join-back would
+    // cost two, and a separate sig checkpoint would materialize the same
+    // V x 17-column table twice). The rep's own row carries the class
+    // signature, so the class table is a filter of this checkpoint.
+    val wClass = org.apache.spark.sql.expressions.Window
+      .partitionBy(mhNames.map(col): _*)
     val sig = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
-      minHashSignaturesFrom(sh, numHashes))
-    val banded = sig.select(col("doc_id"),
+      minHashSignaturesFrom(sh, numHashes).select(
+        (col("doc_id") +: min(col("doc_id")).over(wClass).as("rep") +:
+          mhNames.map(col)): _*))
+    val members = sig.select(col("doc_id"), col("rep"))
+    val classes = sig.filter(col("doc_id") === col("rep"))
+    val banded = classes.select(col("rep"),
       posexplode(array((0 until bands).map(b =>
         PortableHash.phash(
           (lit(b) +: (b * rows until (b + 1) * rows)
             .map(i => col(s"mh_$i"))): _*)): _*))
         .as(Seq("band", "bucket")))
-    val candidates = banded.as("x").join(banded.as("y"),
+    val candC = banded.as("x").join(banded.as("y"),
       col("x.band") === col("y.band") &&
         col("x.bucket") === col("y.bucket") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("ca"), col("y.rep").as("cb"))
       .distinct()
-    (candidates, sh, sig)
+    // cross-class expansion: every member pair of a candidate class pair,
+    // ordered doc_a < doc_b (member ids interleave across classes, so the
+    // order is per-pair, not per-class)
+    val cross = candC
+      .join(members.select(col("rep").as("ca"), col("doc_id").as("da")),
+        Seq("ca"))
+      .join(members.select(col("rep").as("cb"), col("doc_id").as("db")),
+        Seq("cb"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+    // within-class pairs: identical signatures collide in all bands
+    val within = members.as("p").join(members.as("q"),
+      col("p.rep") === col("q.rep") &&
+        col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
+    // no distinct needed: candC is distinct and each doc belongs to exactly
+    // one class, so cross pairs are unique; within is disjoint from cross
+    (cross.unionByName(within), sh, sig)
   }
 
   def minHashLsh(

@@ -159,7 +159,13 @@ object GraphSources {
       val dst = v1Low | ((high >> 16) << 32)
       (src, dst, 1.0)
     }.toDF("src", "dst", "weight")
-    val edgeCount = new java.io.File(path).length() / 12
+    // Hadoop FileSystem, not java.io.File (round-5 verdict #3): on a
+    // non-local path (hdfs://, s3a://) File.length() silently returns 0,
+    // so node_count = m/16 collapsed to 0 while the edges still loaded —
+    // the same non-local-FS hazard writeDotGraph's header fix closed.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val edgeCount = fs.getFileStatus(hPath).getLen / 12
     (edges, edgeCount / 16)
   }
 }

@@ -67,7 +67,10 @@ object Curation {
       if (fanout != 0) fanout
       else docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt
-    val scored = docs.select(
+    // widen a single-split input before the per-row scoring work (round-6,
+    // guide §2.5): langId+quality tokenize every document — on a sub-split
+    // corpus that whole pass serializes into one task otherwise
+    val scored = graft.util.Parallelism.widen(docs).select(
       col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang"),
       TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -143,11 +146,15 @@ object Curation {
       : DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
       "targets must be a non-empty map of non-negative shares")
-    val scored = docs.select(col("doc_id"),
-      TextAnalysis.langId(col("text")).as("lang"))
-    // materialize the tiny per-language count once: `counts` feeds both
-    // the total and the share join — left lazy, the corpus-side `scored`
-    // (scan + langId) would execute twice
+    // ONE langId pass over the corpus (round-6): the scored projection is
+    // materialized and feeds BOTH the per-language count and the output
+    // join — left lazy, the scan + langId (a full tokenize of every
+    // document) executed twice per run. Widened first so a single-split
+    // input doesn't serialize the tokenize pass into one task (guide §2.5);
+    // the checkpoint is 2 compact columns per doc.
+    val scored = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      graft.util.Parallelism.widen(docs).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang")))
     val counts = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
       scored.groupBy(col("lang")).agg(count(lit(1)).as("n")))
     val shares = counts.crossJoin(counts.agg(sum(col("n")).as("total")))
@@ -206,9 +213,18 @@ object Curation {
       numPartitions: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val spark = docs.sparkSession
+    // scale-adaptive partition count (round-6, same principle as
+    // LinkGraph.adaptiveParts): the configured value is a CAP; a corpus
+    // with fewer input splits than that doesn't need 32 range partitions,
+    // 32 window tasks and a 32-slot offset array per run. At scale the
+    // split count exceeds the cap and the configured value wins.
     val p = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sized = docs.select(col("doc_id"),
+      else math.min(
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        math.max(8, docs.rdd.getNumPartitions))
+    // widen before the tokenize projection: on a single-split input the
+    // whole tokenCount pass otherwise serializes into one task (guide §2.5)
+    val sized = graft.util.Parallelism.widen(docs).select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     // one materialization feeds both the offset collect and the result
     // (the DistributedRank contract); blocks GC-reclaim with the frame
