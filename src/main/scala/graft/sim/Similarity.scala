@@ -24,7 +24,13 @@ object Similarity {
 
   /** Cast to double + precompute L2 norm once (reference P7-style hoisting:
     * one sqrt per vector instead of per pair). Registers the codegen'd
-    * graft_dot expression on the session.
+    * graft_dot expression on the session. Deliberately NOT widened
+    * (graft.util.Parallelism.widen) despite the single-split sf0.1 scan:
+    * the round-6 A/B measured the round-robin exchange costing more than
+    * the light per-row work it spreads (warm QueryJobs pass-2: s_ann_lsh
+    * 1.07 -> 1.20 s, s_ann_ivf 0.64 -> 0.86 s, d_embed_dup 0.70 ->
+    * 1.27 s) — the opposite call from the dedup shingling paths, where
+    * per-row md5-per-shingle work dominates the exchange.
     */
   def withNorm(embeddings: DataFrame): DataFrame = {
     graft.functions.ArrayDotProduct.register(embeddings.sparkSession)

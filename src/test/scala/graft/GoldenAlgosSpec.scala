@@ -117,6 +117,24 @@ class GoldenAlgosSpec extends SparkSpec {
     assert(TriangleCount.run(LinkGraph(edgesDF(noisy))) == 2L)
   }
 
+  test("Triangle count: adjacency-intersection formulation == wedge join") {
+    // wedgeMax = 0 forces the large-graph adjacency-intersection path
+    // that the size rule would otherwise never take on fixture graphs;
+    // both shapes must count identically (round-6 formulation switch)
+    for (edges <- Seq(Fixtures.tcTwoComponentsEdges,
+        Fixtures.tcConnectedEdges, Fixtures.tcDiamondEdges)) {
+      val g = LinkGraph(edgesDF(edges))
+      assert(TriangleCount.run(g, wedgeMax = 0L) ==
+        TriangleCount.run(g, wedgeMax = Long.MaxValue))
+    }
+    val g = LinkGraph(edgesDF(Fixtures.tcDiamondEdges))
+    val byWedge = TriangleCount.perVertex(g, wedgeMax = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byIntersect = TriangleCount.perVertex(g, wedgeMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byIntersect == byWedge)
+  }
+
   test("SSSP golden distances") {
     val g = LinkGraph(edgesDF(Fixtures.ssspEdges, Fixtures.ssspWeights))
     val res = Sssp.run(g, SsspConfig(startNode = 0L))

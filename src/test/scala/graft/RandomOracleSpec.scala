@@ -170,6 +170,10 @@ class RandomOracleSpec extends SparkSpec {
   test("triangle count matches brute-force oracle exactly") {
     val g = LinkGraph(edgesDF(edges))
     assert(TriangleCount.run(g) == bruteTriangles(nodes, edges))
+    // the large-graph adjacency-intersection shape (forced via
+    // wedgeMax = 0) must agree with the same oracle on the random graph
+    assert(TriangleCount.run(g, wedgeMax = 0L) ==
+      bruteTriangles(nodes, edges))
   }
 
   test("sync LPA matches sequential oracle exactly (fixed iterations)") {
