@@ -46,8 +46,13 @@ object TcBench {
 
     val t0 = System.nanoTime()
     if (mode == "local") {
-      val rows = TriangleCount.perVertex(graph).count()
-      println(f"[tc] perVertex rows=$rows%d in " +
+      // noop sink, NOT count() (guide §1.4): count over perVertex's
+      // left join (right side unique per id, no right column referenced)
+      // lets the optimizer eliminate the whole triangle subtree — the
+      // 112M run "finished" in 18 s that way, computing nothing
+      TriangleCount.perVertex(graph)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[tc] perVertex (noop sink, all columns) in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     } else {
       val tris = TriangleCount.run(graph)
