@@ -40,9 +40,14 @@ object Dedup {
     // checkpointNoStats (localCheckpoint) rather than persist(): its blocks
     // are released by the ContextCleaner when the frame is GC'd, so a
     // long-running caller (the serving daemon) cannot accumulate pinned
-    // caches from library internals.
+    // caches from library internals. NOT widened (unlike docShingles /
+    // simHash, whose per-row shingle-explode + md5-per-shingle work wins
+    // ~30x from the spread): one md5 per document is lighter than the
+    // round-robin exchange — round-6 A/B measured 0.66 s unwidened vs
+    // 0.87 s widened at sf0.1 (same call as the embeddings decline in
+    // Similarity.withNorm).
     val fp = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
-      graft.util.Parallelism.widen(docs).select(col("doc_id"),
+      docs.select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp")))
     val groups = fp.groupBy(col("fp")).agg(
       min(col("doc_id")).as("canonical_id"),
