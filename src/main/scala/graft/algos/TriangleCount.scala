@@ -151,16 +151,21 @@ object TriangleCount {
     * triangle): triangle corners from whichever formulation [[run]]'s
     * size rule picks (in the intersection shape only the corners are
     * materialized — output-proportional, T rows for T triangles, never
-    * wedge-proportional), exploded and counted. The oriented cache backs
-    * the returned plan, so it stays persisted (released by the session's
-    * cache clearing, as with the algos' state caches).
+    * wedge-proportional), exploded and counted. The oriented table is
+    * localCheckpointed (not persisted) because it backs the returned
+    * plan beyond this call — see the comment at the checkpoint site.
     */
   def perVertex(graph: LinkGraph, wedgeMax: Long = wedgeMaxEdges): DataFrame = {
     val spark = graph.edges.sparkSession
     import spark.implicits._
-    val oriented = orientedEdges(graph)
-      .repartition(graph.numPartitions, $"a")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // checkpointNoStats, NOT persist(): the returned plan outlives this
+    // call, so an explicit persist could never be unpersisted here and a
+    // long-running caller (the daemon's repeated COMPUTE) would pin one
+    // cached table per call — localCheckpoint blocks are released by the
+    // ContextCleaner when the frame is GC'd (same discipline as
+    // Dedup.exact's fingerprint table)
+    val oriented = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      orientedEdges(graph).repartition(graph.numPartitions, $"a"))
     val tris =
       if (oriented.count() < wedgeMax) wedgeTriangles(oriented)
       else
