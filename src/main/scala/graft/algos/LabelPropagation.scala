@@ -81,7 +81,14 @@ object LabelPropagation {
     val undAll = undBase.repartition(graph.numPartitions)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = graph.nodeCountFrom(undAll)
-    require(n > 0, "LP on empty graph")
+    // release the cache before throwing: a long-running caller (the
+    // serving daemon) would otherwise pin one empty InMemoryRelation per
+    // failed call (the pre-round-6 shape required n > 0 before
+    // persisting anything)
+    if (n <= 0) {
+      undAll.unpersist()
+      throw new IllegalArgumentException("LP on empty graph")
+    }
     val doBroadcast = n <= broadcastVertices
     val undCache =
       if (doBroadcast) undAll

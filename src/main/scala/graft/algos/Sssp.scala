@@ -174,6 +174,12 @@ object Sssp {
         val bcastLazy = sys.props.get("graft.sssp.bcastlazy")
           .orElse(sys.env.get("GRAFT_SSSP_BCAST_LAZY"))
           .map(_.toInt).getOrElse(1)
+        // a zero would throw ArithmeticException in the modulus below and
+        // a negative value would silently disable the per-round
+        // materialization that prevents the measured ~2^batch
+        // nested-broadcast re-execution pathology
+        require(bcastLazy >= 1,
+          s"SSSP bcastLazy cadence must be >= 1, got $bcastLazy")
         var cur = state
         for (i <- 0 until rounds) {
           cur = relaxRound(cur, Double.PositiveInfinity, i)

@@ -54,8 +54,11 @@ object DedupScale {
         // docs are EXACT copies of a small set of boilerplate texts —
         // `classes` identical-signature classes of ~n/(10*classes) docs
         // each — the shape where the document-level banded self-join went
-        // quadratic per (band, bucket). The other 90% are the normal
-        // near-dup corpus.
+        // quadratic per (band, bucket). The other 90% are INDEPENDENT
+        // unique texts (per-doc base seeds): background shingling load
+        // with essentially no candidate pairs of their own, so the
+        // `cands` A/B isolates the mega-class cost (a mixed near-dup
+        // background lives in the `gen` corpus, not here).
         val n = args(2).toLong
         val nClasses = if (args.length > 3) args(3).toInt else 10
         val isBoiler = pmod(col("id"), lit(10)) === 5

@@ -23,14 +23,10 @@ object TcBench {
     val path = args(0)
     val mode = if (args.length > 1) args(1) else "global"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("tc-bench")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.local.dir", "/dev/shm/graft-spark-local")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the shared measurement session (Scaling.measureConf: explicit-hints-
+    // only joins, AQE off, tmpfs shuffle) so the timed plan is the same
+    // plan the query suite runs, not an auto-broadcast variant
+    val spark = Scaling.session(cpus)
     import spark.implicits._
 
     val edges = spark.read.parquet(path) // raw (src, dst, weight)

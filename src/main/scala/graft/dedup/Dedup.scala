@@ -259,20 +259,27 @@ object Dedup {
     val sh = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
       docShingles(docs, k))
     val mhNames = (0 until numHashes).map(i => s"mh_$i")
-    // ONE signature materialization carrying the class representative:
-    // rep = min doc_id over the signature class via a window directly on
-    // the signature aggregation (one exchange; a groupBy + join-back would
-    // cost two, and a separate sig checkpoint would materialize the same
-    // V x 17-column table twice). The rep's own row carries the class
-    // signature, so the class table is a filter of this checkpoint.
-    val wClass = org.apache.spark.sql.expressions.Window
-      .partitionBy(mhNames.map(col): _*)
+    // ONE signature materialization (doc_id + the 16 mh columns)
     val sig = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
-      minHashSignaturesFrom(sh, numHashes).select(
-        (col("doc_id") +: min(col("doc_id")).over(wClass).as("rep") +:
-          mhNames.map(col)): _*))
-    val members = sig.select(col("doc_id"), col("rep"))
-    val classes = sig.filter(col("doc_id") === col("rep"))
+      minHashSignaturesFrom(sh, numHashes))
+    // class representative rep = min doc_id per signature class, via a
+    // partial-aggregated groupBy: map-side combine collapses a B-copy
+    // boilerplate class to one row per map partition BEFORE the exchange.
+    // (The first round-6 form used min().over(Window.partitionBy(sig))
+    // to save an exchange, but a window has no partial aggregation and
+    // is not AQE-skew-splittable — the whole mega class lands in ONE
+    // sorted window task, re-creating the straggler this guard exists to
+    // remove. The groupBy side is fully parallel, and the member
+    // join-back below is an equi-JOIN, which AQE skew handling CAN split
+    // on a hot key.) Recomputed (not checkpointed) at its two plan
+    // references — each is one cheap aggregation over the cached sig —
+    // to avoid a second V x 17 materialization on dup-free corpora.
+    val classes = sig.groupBy(mhNames.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"))
+    // member doc -> class rep: checkpointed once (narrow V x 2) for the
+    // two expansion references below
+    val members = org.apache.spark.sql.graft.StatsReset.checkpointNoStats(
+      sig.join(classes, mhNames).select(col("doc_id"), col("rep")))
     val banded = classes.select(col("rep"),
       posexplode(array((0 until bands).map(b =>
         PortableHash.phash(

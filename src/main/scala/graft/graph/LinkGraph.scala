@@ -489,24 +489,21 @@ object LinkGraph {
   val AdaptiveTargetBytes: Long = 32L << 20
   val AdaptiveMinParts: Int = 8
 
-  def adaptiveParts(edges: DataFrame, cap: Int): Int = {
-    val bytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+  private def partsForBytes(bytes: BigInt, cap: Int): Int =
     if (bytes >= BigInt(cap.toLong * AdaptiveTargetBytes)) cap
     else math.min(cap, math.max(AdaptiveMinParts,
       ((bytes + AdaptiveTargetBytes - 1) / AdaptiveTargetBytes).toInt))
-  }
+
+  def adaptiveParts(edges: DataFrame, cap: Int): Int =
+    partsForBytes(edges.queryExecution.optimizedPlan.stats.sizeInBytes, cap)
 
   /** Row-count form of [[adaptiveParts]] for callers that hold a
     * MATERIALIZED edge set (checkpointed frames erase plan stats, so the
     * size estimate falls back to Long.MaxValue and the byte form returns
     * the cap): ~24 bytes/edge row, same target/floor/cap clamp.
     */
-  def adaptivePartsForRows(rows: Long, cap: Int): Int = {
-    val bytes = rows * 24L
-    if (bytes >= cap.toLong * AdaptiveTargetBytes) cap
-    else math.min(cap, math.max(AdaptiveMinParts,
-      ((bytes + AdaptiveTargetBytes - 1) / AdaptiveTargetBytes).toInt))
-  }
+  def adaptivePartsForRows(rows: Long, cap: Int): Int =
+    partsForBytes(BigInt(rows) * 24, cap)
 
   /** Builder mirroring GraphBuilder::new().csr_layout(L).edges(E).build()
     * (crates/builder/src/builder.rs:123-381).

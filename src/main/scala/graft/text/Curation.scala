@@ -218,10 +218,13 @@ object Curation {
     // with fewer input splits than that doesn't need 32 range partitions,
     // 32 window tasks and a 32-slot offset array per run. At scale the
     // split count exceeds the cap and the configured value wins.
+    // estimatedSplits, not docs.rdd.getNumPartitions: the rdd probe
+    // finalizes an AQE plan (executing upstream stages of a derived
+    // input just to read a count); the stats estimate is driver-only
+    val cap = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val p = if (numPartitions > 0) numPartitions
-      else math.min(
-        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        math.max(8, docs.rdd.getNumPartitions))
+      else math.min(cap,
+        math.max(8, graft.util.Parallelism.estimatedSplits(docs, cap)))
     // widen before the tokenize projection: on a single-split input the
     // whole tokenCount pass otherwise serializes into one task (guide §2.5)
     val sized = graft.util.Parallelism.widen(docs).select(col("doc_id"),

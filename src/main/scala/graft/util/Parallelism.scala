@@ -1,5 +1,6 @@
 package graft.util
 
+import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
 
 /** Input-parallelism guard for CPU-heavy map stages (optimization guide
@@ -16,14 +17,45 @@ import org.apache.spark.sql.DataFrame
   * magnitude more splits than cores and [[widen]] is the identity: the
   * branch can only ever ADD an exchange of a provably tiny input, never a
   * shuffle of a large one.
+  *
+  * The decision reads `optimizedPlan.stats.sizeInBytes` — pure driver-side
+  * plan metadata. The first round-6 form probed `df.rdd.getNumPartitions`,
+  * which under AQE (on by default) FINALIZES the adaptive plan: every
+  * upstream shuffle stage of a derived input executes eagerly just to read
+  * a partition count, and then the real pipeline re-executes them in a
+  * fresh query execution. Stats-less inputs (checkpointed frames report
+  * defaultSizeInBytes) read as huge and take the do-nothing branch — the
+  * guard only ever engages on a provably small input.
   */
 object Parallelism {
 
+  private def statsBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  private def maxSplitBytes(df: DataFrame): Long =
+    JavaUtils.byteStringAsBytes(df.sparkSession.conf
+      .get("spark.sql.files.maxPartitionBytes", "128m"))
+
   /** Round-robin repartition `df` up to the session's default parallelism
-    * when (and only when) its physical plan yields fewer partitions.
+    * when (and only when) its size estimate says it arrives as a single
+    * scan split.
     */
-  def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  def widen(df: DataFrame): DataFrame =
+    if (statsBytes(df) < BigInt(maxSplitBytes(df)))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
+  /** Driver-side estimate of the scan-split count `df` arrives as,
+    * clamped to [1, cap] — the stats-based replacement for
+    * `df.rdd.getNumPartitions` where a partition-count-shaped value feeds
+    * an adaptive sizing decision (e.g. packSequences' range-partition
+    * count). Stats-less inputs estimate at the cap, i.e. the configured
+    * behavior.
+    */
+  def estimatedSplits(df: DataFrame, cap: Int): Int = {
+    val split = BigInt(maxSplitBytes(df))
+    val b = statsBytes(df)
+    if (b >= split * cap) cap
+    else math.max(1, ((b + split - 1) / split).toInt)
   }
 }
